@@ -1,0 +1,127 @@
+"""Shared helpers: partitioning, vectorized multi-range expansion, schemas.
+
+Partitioning contract (used EVERYWHERE — edges, vertex state, shuffles):
+    part(v) = v % P
+for dense vertex ids 0..n-1 assigned by the vertex dictionary (sorted-url
+enumeration, see sources/extract.py). Dictionary-assigned dense ids are
+decorrelated from link structure, so the modulo partition is balanced; if ids
+were adversarial, swap ``part_of`` for a multiplicative hash — every consumer
+goes through this function.
+
+The local index of vertex v inside its part is ``v // P`` (O(1) arithmetic,
+no searchsorted), and the universe of part k is ``range(k, n, P)`` — this is
+what makes per-part dense arrays cheap to align at any scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_NUM_PARTS = 8
+
+# Sentinel vertex ids for per-part stats rows carried inside state tables
+# (kernels emit them from the combine stage; the driver sums them; SpMV
+# stages must skip v < 0).
+STAT_DELTA = -1  # L1 delta vs previous iterate
+STAT_DANGLING = -2  # mass on dangling vertices of the NEW iterate
+STAT_SUM = -3  # sum of the new iterate (for normalization)
+STAT_CHANGED = -4  # number of vertices whose value changed (integer kernels)
+STAT_MAX = -5  # max of the new iterate (Linf normalization, HITS)
+STAT_SUMSQ = -6  # sum of squares (L2 normalization, eigenvector/Katz)
+
+
+def named(fn):
+    """Give a callable-class instance a __name__ (Ray's map_groups wants one)."""
+    if not hasattr(fn, "__name__"):
+        try:
+            fn.__name__ = type(fn).__name__
+        except AttributeError:
+            pass
+    return fn
+
+
+def part_of(v: np.ndarray, num_parts: int) -> np.ndarray:
+    """Partition id for each vertex id (vectorized)."""
+    return (v % num_parts).astype(np.int32)
+
+
+def universe(part: int, n: int, num_parts: int) -> np.ndarray:
+    """All vertex ids belonging to ``part`` — range(part, n, P)."""
+    return np.arange(part, n, num_parts, dtype=np.int64)
+
+
+def universe_size(part: int, n: int, num_parts: int) -> int:
+    if n <= part:
+        return 0
+    return (n - part - 1) // num_parts + 1
+
+
+def local_index(v: np.ndarray, num_parts: int) -> np.ndarray:
+    """Index of v inside its part's dense universe array."""
+    return v // num_parts
+
+
+def concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized concatenation of ranges [starts[i], starts[i]+lens[i]).
+
+    The classic cumsum trick — used to expand CSR adjacency slices for a
+    set of source rows without a Python loop.
+    """
+    lens = lens.astype(np.int64, copy=False)
+    nz = lens > 0
+    if not nz.all():
+        starts, lens = starts[nz], lens[nz]
+    if starts.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    out = np.ones(ends[-1], dtype=np.int64)
+    out[0] = starts[0]
+    if starts.size > 1:
+        out[ends[:-1]] = starts[1:] - starts[:-1] - lens[:-1] + 1
+    return np.cumsum(out)
+
+
+# Unified iteration-state schema shared by all fixpoint kernels.
+#   kind 0 = vertex state row (v, f0 float slot, i0 int slot)
+#   kind 1 = message/contribution row (v = destination, f0/i0 payload)
+#   v < 0  = per-part stats row (see STAT_* above; payload in f0)
+STATE_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("kind", pa.int8()),
+        ("v", pa.int64()),
+        ("f0", pa.float64()),
+        ("i0", pa.int64()),
+    ]
+)
+
+
+def state_table(part, kind, v, f0=None, i0=None) -> pa.Table:
+    m = len(v)
+    if f0 is None:
+        f0 = np.zeros(m, dtype=np.float64)
+    if i0 is None:
+        i0 = np.zeros(m, dtype=np.int64)
+    part = np.broadcast_to(np.asarray(part, dtype=np.int32), (m,))
+    kind = np.broadcast_to(np.asarray(kind, dtype=np.int8), (m,))
+    return pa.table(
+        {
+            "part": pa.array(part, pa.int32()),
+            "kind": pa.array(kind, pa.int8()),
+            "v": pa.array(np.asarray(v, dtype=np.int64), pa.int64()),
+            "f0": pa.array(np.asarray(f0, dtype=np.float64), pa.float64()),
+            "i0": pa.array(np.asarray(i0, dtype=np.int64), pa.int64()),
+        }
+    )
+
+
+def empty_state_table() -> pa.Table:
+    return STATE_SCHEMA.empty_table()
+
+
+def stats_rows(part: int, stats: dict[int, float]) -> pa.Table:
+    """Stats rows (v = STAT_* sentinel, payload in f0)."""
+    ks = np.fromiter(stats.keys(), dtype=np.int64, count=len(stats))
+    vs = np.fromiter((float(x) for x in stats.values()), dtype=np.float64, count=len(stats))
+    return state_table(part, 0, ks, f0=vs)

@@ -1,0 +1,172 @@
+"""Label propagation community detection — synchronous, deterministic.
+
+Not present in the reference (its community module has only ``quality.py``);
+required by the north rule. Engine spec (SURVEY.md §2.4): init
+``label_v = v``; each superstep every vertex adopts the most frequent label
+among its neighbors (self-loop counts itself), ties broken by the MINIMUM
+label; vertices with no neighbors keep their label; stop at fixpoint or
+``max_iter``. Synchronous + min-tie-break ⇒ the result is a pure function of
+the edge set, independent of partitioning and combine order — exactly
+matchable by a tiny pure-python oracle (tests) or unrolled SQL.
+
+Physical plan: scatter ``(dst, label)`` pre-counted per batch →
+``groupby(part)`` → per-part count aggregation + argmax-with-min-tie →
+compare-and-swap; the changed-count stats row drives the driver loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .._util import STAT_CHANGED, state_table, stats_rows, universe, universe_size
+from ..stages import spmv
+from ..stages.fixpoint import collect_stats, extract_vertex_values, run_iteration
+
+
+class _LPAInit:
+    def __init__(self, n, num_parts):
+        self.n, self.P = n, num_parts
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = []
+        for k in t["id"].to_numpy(zero_copy_only=False):
+            k = int(k)
+            uni = universe(k, self.n, self.P)
+            if uni.size == 0:
+                continue
+            out.append(state_table(k, 0, uni, i0=uni))
+        if not out:
+            return state_table(0, 0, np.empty(0, np.int64))
+        return pa.concat_tables(out)
+
+
+class _LPASpMV:
+    """Scatter (dst, src_label) counted per batch — the combiner for the
+    mode aggregate."""
+
+    def __init__(self, csr_refs, num_parts):
+        self.cache = spmv.CsrCache(csr_refs)
+        self.P = num_parts
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.and_(pc.equal(t["kind"], 0), pc.greater_equal(t["v"], 0)))
+        if t.num_rows == 0:
+            return state_table(0, 0, np.empty(0, np.int64))
+        b = spmv.batch_numpy(t)
+        out = [t]
+        for k, sel in spmv.iter_parts(b):
+            csr = self.cache.get(k)
+            v, lab = b["v"][sel], b["i0"][sel]
+            rows, pos = spmv.match_sources(csr, v)
+            if rows.size == 0:
+                continue
+            indptr = csr["indptr"]
+            lens = indptr[pos + 1] - indptr[pos]
+            idx = spmv.concat_ranges(indptr[pos], lens)
+            dsts = csr["dst"][idx]
+            labels = np.repeat(lab[rows], lens)
+            ud, ulab, cnt = spmv.precombine_label_count(dsts, labels)
+            out.append(
+                state_table((ud % self.P).astype(np.int32), 1, ud, f0=cnt, i0=ulab)
+            )
+        return pa.concat_tables(out)
+
+
+class _LPACombine:
+    def __init__(self, n, num_parts):
+        self.n, self.P = n, num_parts
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        b = spmv.batch_numpy(g)
+        k = int(b["part"][0])
+        usize = universe_size(k, self.n, self.P)
+        kind, v = b["kind"], b["v"]
+        st = (kind == 0) & (v >= 0)
+        prev = np.zeros(usize, dtype=np.int64)
+        prev[v[st] // self.P] = b["i0"][st]
+        new = prev.copy()
+
+        msg = kind == 1
+        if msg.any():
+            dl = v[msg] // self.P
+            lab = b["i0"][msg]
+            cnt = b["f0"][msg]
+            # re-aggregate counts by (dst, label) across batches
+            key = np.stack([dl, lab], axis=1)
+            ukey, inv = np.unique(key, axis=0, return_inverse=True)
+            csum = np.zeros(ukey.shape[0], dtype=np.float64)
+            np.add.at(csum, inv, cnt)
+            # winner per dst: max count, tie → min label.
+            # ukey is sorted by (dst, label); stable-sort by -count keeps
+            # label ascending within equal counts → first row per dst wins.
+            order = np.argsort(-csum, kind="stable")
+            dso, lso = ukey[order, 0], ukey[order, 1]
+            _, first = np.unique(dso, return_index=True)
+            new[dso[first]] = lso[first]
+
+        changed = new != prev
+        uni = universe(k, self.n, self.P)
+        return pa.concat_tables(
+            [
+                state_table(k, 0, uni, i0=new),
+                stats_rows(k, {STAT_CHANGED: float(changed.sum())}),
+            ]
+        )
+
+
+def label_propagation(G, max_iter: int = 30):
+    """Community labels after synchronous LPA; Dataset (v, label).
+
+    Directed input is symmetrized (community detection is defined on the
+    undirected structure)."""
+    g = G.to_undirected() if G.directed else G
+    g._ensure_built()
+    n, P = g.n, g.num_parts
+    state = (
+        ray.data.range(P, override_num_blocks=P)
+        .map_batches(_LPAInit(n, P), batch_format="pyarrow")
+        .materialize()
+    )
+    for _ in range(max_iter):
+        state, stats = run_iteration(state, _LPASpMV(g.csr_refs, P), _LPACombine(n, P))
+        if stats.get(STAT_CHANGED, 0.0) == 0:
+            break
+    return extract_vertex_values(state, "label", use_int=True)
+
+
+def label_propagation_dict(G, max_iter: int = 30) -> dict:
+    df = label_propagation(G, max_iter=max_iter).to_pandas()
+    return dict(zip(df["v"].astype(int), df["label"].astype(int)))
+
+
+def lpa_oracle(edges, n: int, max_iter: int = 30) -> dict:
+    """~20-line pure-python reference for the spec'd LPA rule (tests/SQL
+    validation only — this is the committed oracle from FIXTURES.md §3.5)."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(list)
+    for u, vv in edges:
+        adj[u].append(vv)
+        if u != vv:
+            adj[vv].append(u)
+    # dedup neighbor lists (edge table semantics: simple graph)
+    adj = {u: sorted(set(vs)) for u, vs in adj.items()}
+    lab = {v: v for v in range(n)}
+    for _ in range(max_iter):
+        new = {}
+        for v in range(n):
+            ns = adj.get(v, [])
+            if not ns:
+                new[v] = lab[v]
+                continue
+            cnt = Counter(lab[u] for u in ns)
+            best = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == best)
+        if new == lab:
+            break
+        lab = new
+    return lab

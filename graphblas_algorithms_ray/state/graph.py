@@ -1,0 +1,437 @@
+"""Distributed graph state: partitioned edge table + per-part CSR shards.
+
+Re-expresses the reference's ``Graph``/``DiGraph`` (adjacency ``gb.Matrix`` +
+derived-property ``_cache``, reference ``classes/graph.py:364-382``,
+``classes/digraph.py:517-535``) as:
+
+  * a **partitioned edge table**: Arrow batches ``(src, dst[, weight])``
+    hash-partitioned by ``src % P`` into per-part Parquet files (the build
+    shuffle; done once), and
+  * **per-part CSR shards**: numpy ``(srcs, indptr, dst, weight, row_wsum)``
+    built once per part by Ray tasks and pinned in the object store; every
+    downstream stage reads them zero-copy via ``ray.get(ref)``, i.e. the
+    "broadcast once with ray.put, read in every task" pattern — the shards
+    are never re-shipped per batch.
+  * a ``_cache`` dict of derived state (reverse graph, degrees, undirected
+    view, triangle inputs), mirroring the reference's derived-property cache
+    (``classes/graph.py:336-353``).
+
+Scale notes (100 TB / 10^12 vertices):
+  * Partition fn is ``v % P`` over dictionary-assigned dense ids (see
+    ``_util.part_of``); the per-part universe is ``range(k, n, P)`` so all
+    per-part vertex arrays align with O(1) arithmetic, no searchsorted.
+  * Hub/skew handling: a hub source's adjacency lives in one shard, but the
+    iteration stages stream the shard in bounded Arrow batches and
+    pre-combine per batch, so a hot *destination* receives at most
+    O(#batches) partial rows into the ``groupby(part)`` combine; a hot
+    *source* is split across batches by Ray's block splitting. Per-batch
+    message pre-aggregation (np.unique + add.at) is the combiner.
+  * The edge Parquet layout is the graph checkpoint: a rebuilt driver can
+    reconstruct shards from the manifest without re-shuffling.
+"""
+
+from __future__ import annotations
+
+import os
+import json
+import tempfile
+import threading
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from .._util import DEFAULT_NUM_PARTS, named, part_of, universe, universe_size
+
+_EDGE_SCHEMA_COLS = ("src", "dst", "weight")
+
+
+def _as_dataset(edges, weighted: bool):
+    """Normalize edge input (Dataset | pa.Table | pandas | list of pairs)."""
+    if isinstance(edges, ray.data.Dataset):
+        return edges
+    if isinstance(edges, pa.Table):
+        return ray.data.from_arrow(edges)
+    if hasattr(edges, "to_dict") and hasattr(edges, "columns"):  # pandas
+        return ray.data.from_pandas(edges)
+    # list of (u, v) / (u, v, w)
+    arr = np.asarray(list(edges))
+    if arr.size == 0:
+        cols = {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+        if weighted:
+            cols["weight"] = np.empty(0, np.float64)
+        return ray.data.from_arrow(pa.table(cols))
+    cols = {
+        "src": arr[:, 0].astype(np.int64),
+        "dst": arr[:, 1].astype(np.int64),
+    }
+    if arr.shape[1] > 2:
+        cols["weight"] = arr[:, 2].astype(np.float64)
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def _swap_batch(t: pa.Table) -> pa.Table:
+    cols = {"src": t["dst"], "dst": t["src"]}
+    if "weight" in t.column_names:
+        cols["weight"] = t["weight"]
+    return pa.table(cols)
+
+
+class _AddPart:
+    """src % P partition column (vectorized)."""
+
+    def __init__(self, num_parts: int):
+        self.num_parts = num_parts
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(part_of(src, self.num_parts)))
+
+
+class _WritePart:
+    """Write one edge shard parquet atomically, return a manifest row."""
+
+    def __init__(self, outdir: str, weighted: bool):
+        self.outdir = outdir
+        self.weighted = weighted
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        keep = ["src", "dst"] + (["weight"] if self.weighted else [])
+        tbl = g.select(keep)
+        path = os.path.join(self.outdir, f"part_{part:05d}.parquet")
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return pa.table(
+            {"part": pa.array([part], pa.int32()), "rows": pa.array([tbl.num_rows], pa.int64())}
+        )
+
+
+@ray.remote(num_returns=3)
+def _build_shard(path, k: int, n: int, num_parts: int, weighted: bool, keep_self: bool, dup: str):
+    """Build the CSR shard for part k from its edge parquet file.
+
+    Returns (csr, aux, meta):
+      csr:  srcs (sorted unique), indptr, dst (sorted within row),
+            weight (or None), row_wsum (weighted out-degree per src),
+            row_cnt, row_self (self-loop count per src)
+      aux:  universe-aligned arrays for part k: out_cnt, out_wsum, out_self
+      meta: {'m': deduped edge count, 'self_edges': count}
+    """
+    if path is not None and os.path.exists(path):
+        tbl = pq.read_table(path)
+        src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        w = (
+            tbl["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            if weighted and "weight" in tbl.column_names
+            else None
+        )
+    else:
+        src = np.empty(0, np.int64)
+        dst = np.empty(0, np.int64)
+        w = np.empty(0, np.float64) if weighted else None
+
+    if not keep_self and src.size:
+        mask = src != dst
+        src, dst = src[mask], dst[mask]
+        if w is not None:
+            w = w[mask]
+
+    # Dedup (u,v) pairs. All copies of an edge land in this shard because the
+    # partition key is src. Key packing assumes n*n < 2**63 (n < 3e9); at
+    # larger scales switch to lexsort on (src, dst).
+    if src.size:
+        key = src * np.int64(n) + dst
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        uniq_mask = np.empty(key_s.shape, dtype=bool)
+        uniq_mask[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=uniq_mask[1:])
+        if w is not None:
+            # dup policy on weights: 'sum' (matrix build dup_op) or 'min'
+            seg_id = np.cumsum(uniq_mask) - 1
+            w_sorted = w[order]
+            if dup == "min":
+                w_agg = np.full(int(seg_id[-1]) + 1, np.inf)
+                np.minimum.at(w_agg, seg_id, w_sorted)
+            else:
+                w_agg = np.zeros(int(seg_id[-1]) + 1)
+                np.add.at(w_agg, seg_id, w_sorted)
+            w = w_agg
+        src = src[order][uniq_mask]
+        dst = dst[order][uniq_mask]
+
+    srcs, counts = np.unique(src, return_counts=True)
+    indptr = np.zeros(srcs.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    row_self = np.zeros(srcs.size, dtype=np.int64)
+    if src.size:
+        pos = np.searchsorted(srcs, src[src == dst])
+        np.add.at(row_self, pos, 1)
+    if w is not None:
+        row_wsum = np.zeros(srcs.size, dtype=np.float64)
+        np.add.at(row_wsum, np.searchsorted(srcs, src), w)
+    else:
+        row_wsum = counts.astype(np.float64)
+
+    csr = {
+        "srcs": srcs,
+        "indptr": indptr,
+        "dst": dst,
+        "weight": w,
+        "row_wsum": row_wsum,
+        "row_cnt": counts.astype(np.int64),
+        "row_self": row_self,
+    }
+
+    usize = universe_size(k, n, num_parts)
+    out_cnt = np.zeros(usize, dtype=np.int64)
+    out_wsum = np.zeros(usize, dtype=np.float64)
+    out_self = np.zeros(usize, dtype=np.int64)
+    if srcs.size:
+        li = srcs // num_parts
+        out_cnt[li] = counts
+        out_wsum[li] = row_wsum
+        out_self[li] = row_self
+    aux = {"out_cnt": out_cnt, "out_wsum": out_wsum, "out_self": out_self}
+    meta = {"m": int(src.size), "self_edges": int(row_self.sum())}
+
+    # Rewrite the shard parquet deduped so edges_ds() is a plain read and the
+    # on-disk edge layout doubles as a clean graph checkpoint.
+    if path is not None and os.path.exists(path):
+        cols = {"src": src, "dst": dst}
+        if w is not None:
+            cols["weight"] = w
+        tmp = path + f".dedup.{os.getpid()}"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, path)
+    return csr, aux, meta
+
+
+class Graph:
+    """A directed (or symmetrized-undirected) graph over dense int vertex ids.
+
+    Reference parity: ``graphblas_algorithms.Graph/DiGraph`` wrapping
+    ``gb.Matrix`` (``classes/graph.py:364-382``). ``directed=False``
+    symmetrizes the edge table at build (A | A.T), matching the undirected
+    adjacency-matrix semantics.
+    """
+
+    _seq = 0
+    _seq_lock = threading.Lock()
+
+    def __init__(
+        self,
+        edges,
+        n: int | None = None,
+        *,
+        directed: bool = True,
+        weighted: bool = False,
+        num_parts: int | None = None,
+        keep_self: bool = True,
+        dup: str = "sum",
+        name: str | None = None,
+        workdir: str | None = None,
+    ):
+        self._edges_input = edges
+        self._given_n = n
+        self.directed = directed
+        self.weighted = weighted
+        self.num_parts = num_parts or DEFAULT_NUM_PARTS
+        self.keep_self = keep_self
+        self.dup = dup
+        with Graph._seq_lock:
+            Graph._seq += 1
+            seq = Graph._seq
+        self.name = name or f"g{seq}_{uuid.uuid4().hex[:6]}"
+        self.workdir = workdir or os.path.join(
+            tempfile.gettempdir(), "gar", "graphs", self.name
+        )
+        self._built = False
+        self._cache: dict = {}
+
+    # -- construction --------------------------------------------------
+
+    @classmethod
+    def from_edgelist(cls, edges, n=None, **kw):
+        return cls(edges, n=n, **kw)
+
+    @classmethod
+    def from_networkx(cls, G, **kw):
+        """Test-oracle helper (drivers/tests only), cf. reference
+        ``classes/_utils.py:11-18``. Requires integer node labels 0..n-1."""
+        weighted = kw.pop("weighted", False)
+        edges = []
+        for u, v, data in G.edges(data=True):
+            if weighted:
+                edges.append((u, v, data.get("weight", 1.0)))
+            else:
+                edges.append((u, v))
+        directed = G.is_directed()
+        return cls(
+            edges, n=G.number_of_nodes(), directed=directed, weighted=weighted, **kw
+        )
+
+    def _ensure_built(self):
+        if self._built:
+            return
+        ds = _as_dataset(self._edges_input, self.weighted)
+        if self._given_n is None:
+            agg = ds.aggregate(
+                ray.data.aggregate.Max("src", alias_name="ms"),
+                ray.data.aggregate.Max("dst", alias_name="md"),
+            )
+            ms, md = agg.get("ms"), agg.get("md")
+            if ms is None:
+                raise ValueError("empty graph with no n given (PointlessConcept)")
+            self.n = int(max(ms, md)) + 1
+        else:
+            self.n = int(self._given_n)
+        if not self.directed:
+            ds = ds.union(ds.map_batches(_swap_batch, batch_format="pyarrow"))
+
+        edir = os.path.join(self.workdir, "edges")
+        os.makedirs(edir, exist_ok=True)
+        P = self.num_parts
+        manifest = (
+            ds.map_batches(_AddPart(P), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(named(_WritePart(edir, self.weighted)), batch_format="pyarrow")
+            .take_all()
+        )
+        present = {int(r["part"]) for r in manifest}
+        csr_refs, aux_refs, meta_refs = [], [], []
+        for k in range(P):
+            path = os.path.join(edir, f"part_{k:05d}.parquet") if k in present else None
+            c, a, m = _build_shard.remote(
+                path, k, self.n, P, self.weighted, self.keep_self, self.dup
+            )
+            csr_refs.append(c)
+            aux_refs.append(a)
+            meta_refs.append(m)
+        self.csr_refs = csr_refs
+        self.aux_refs = aux_refs
+        metas = ray.get(meta_refs)
+        self.m = sum(mt["m"] for mt in metas)
+        self.self_edges = sum(mt["self_edges"] for mt in metas)
+        with open(os.path.join(self.workdir, "manifest.json"), "w") as f:
+            json.dump(
+                {
+                    "n": self.n,
+                    "m": self.m,
+                    "num_parts": P,
+                    "directed": self.directed,
+                    "weighted": self.weighted,
+                    "self_edges": self.self_edges,
+                },
+                f,
+            )
+        self._built = True
+
+    # -- derived state (the reference's _cache analog) ------------------
+
+    def reverse(self) -> "Graph":
+        """Transpose (AT): the edge table re-partitioned by dst.
+
+        Materialized once and cached, exactly like the reference caches AT
+        (``classes/digraph.py:24-30``)."""
+        if "reverse" not in self._cache:
+            self._ensure_built()
+            ds = self.edges_ds().map_batches(_swap_batch, batch_format="pyarrow")
+            g = Graph(
+                ds,
+                n=self.n,
+                directed=True,
+                weighted=self.weighted,
+                num_parts=self.num_parts,
+                keep_self=self.keep_self,
+                name=self.name + "_rev",
+            )
+            g._ensure_built()
+            self._cache["reverse"] = g
+        return self._cache["reverse"]
+
+    def to_undirected(self) -> "Graph":
+        if not self.directed:
+            return self
+        if "undirected" not in self._cache:
+            self._ensure_built()
+            g = Graph(
+                self.edges_ds(),
+                n=self.n,
+                directed=False,
+                weighted=self.weighted,
+                num_parts=self.num_parts,
+                keep_self=self.keep_self,
+                name=self.name + "_und",
+            )
+            g._ensure_built()
+            self._cache["undirected"] = g
+        return self._cache["undirected"]
+
+    def edges_ds(self) -> ray.data.Dataset:
+        """The (deduped, partitioned) edge table as a Dataset."""
+        self._ensure_built()
+        paths = [
+            os.path.join(self.workdir, "edges", f"part_{k:05d}.parquet")
+            for k in range(self.num_parts)
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            cols = {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}
+            if self.weighted:
+                cols["weight"] = np.empty(0, np.float64)
+            return ray.data.from_arrow(pa.table(cols))
+        # shard files are rewritten deduped by _build_shard → plain read
+        return ray.data.read_parquet(paths)
+
+    # -- vertex tables ---------------------------------------------------
+
+    def degrees_ds(self, mode: str = "out", include_self: bool = True) -> ray.data.Dataset:
+        """Per-vertex degrees over the full universe (0 for isolated ids).
+
+        Reference: ``count_rowwise±`` / ``count_columnwise±`` cached
+        properties (``classes/graph.py:354-361``). ``include_self=False``
+        is the '-' variant (self-edges excluded)."""
+        self._ensure_built()
+        if mode == "in":
+            return self.reverse().degrees_ds("out", include_self)
+        if mode == "total":
+            # in + out (DiGraph total_degrees±, classes/digraph.py:238-295)
+            raise NotImplementedError("use pipelines.structure.total_degrees")
+        aux_refs = self.aux_refs
+        n, P = self.n, self.num_parts
+        weighted = False
+
+        class _Emit:
+            def __call__(self, t: pa.Table) -> pa.Table:
+                out_v, out_d = [], []
+                for k in t["id"].to_numpy(zero_copy_only=False):
+                    k = int(k)
+                    aux = ray.get(aux_refs[k])
+                    deg = aux["out_cnt"].copy()
+                    if not include_self:
+                        deg = deg - aux["out_self"]
+                    out_v.append(universe(k, n, P))
+                    out_d.append(deg)
+                if not out_v:
+                    return pa.table({"v": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())})
+                return pa.table(
+                    {
+                        "v": pa.array(np.concatenate(out_v), pa.int64()),
+                        "degree": pa.array(np.concatenate(out_d), pa.int64()),
+                    }
+                )
+
+        return ray.data.range(P, override_num_blocks=P).map_batches(
+            _Emit(), batch_format="pyarrow"
+        )
+
+    # small-graph escape hatches (tests / tiny results only)
+    def edges_pandas(self):
+        return self.edges_ds().to_pandas()
