@@ -191,6 +191,9 @@ def pagerank(
         ck = latest_checkpoint(checkpoint_dir)
         if ck is not None:
             start_it, state, stats = ck
+            if stats.get(STAT_DELTA, np.inf) < n * tol:
+                # checkpoint is already the converged iterate
+                return extract_vertex_values(state, "pagerank")
             start_it += 1
     if state is None:
         state = (

@@ -81,9 +81,21 @@ def run_iteration(
 
 
 def checkpoint_state(state: ray.data.Dataset, ckpt_dir: str, it: int, stats: dict, extra: dict | None = None):
+    import shutil
+
     os.makedirs(ckpt_dir, exist_ok=True)
+    if os.path.exists(os.path.join(ckpt_dir, f"manifest_{it:05d}.json")):
+        return  # already checkpointed (idempotent re-run / converged-on-periodic)
     sdir = os.path.join(ckpt_dir, f"iter_{it:05d}")
-    state.write_parquet(sdir)
+    # atomic: write to a scratch dir, then swap — a crashed writer never
+    # leaves a half-written iteration behind a manifest
+    tmpdir = sdir + ".writing"
+    if os.path.exists(tmpdir):
+        shutil.rmtree(tmpdir)
+    state.write_parquet(tmpdir)
+    if os.path.exists(sdir):
+        shutil.rmtree(sdir)
+    os.replace(tmpdir, sdir)
     manifest = {
         "iter": it,
         "stats": {str(k): v for k, v in stats.items()},
