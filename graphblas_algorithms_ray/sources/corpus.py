@@ -41,13 +41,14 @@ def _xorshift64(x: np.ndarray) -> np.ndarray:
 
 
 def doc_rng(doc_ids: np.ndarray, salt: int = 0) -> np.ndarray:
-    """One deterministic uint64 per doc."""
-    return _xorshift64(
-        doc_ids.astype(np.uint64)
-        + np.uint64(SEED) * np.uint64(0x9E3779B97F4A7C15)
-        + np.uint64(salt) * np.uint64(0xBF58476D1CE4E5B9)
-        + np.uint64(1)
-    )
+    """One deterministic uint64 per doc (mod-2^64 arithmetic intended)."""
+    with np.errstate(over="ignore"):
+        return _xorshift64(
+            doc_ids.astype(np.uint64)
+            + np.uint64(SEED) * np.uint64(0x9E3779B97F4A7C15)
+            + np.uint64(salt) * np.uint64(0xBF58476D1CE4E5B9)
+            + np.uint64(1)
+        )
 
 
 def url_of(doc_id: int, n_docs: int) -> str:

@@ -1,0 +1,281 @@
+"""Link extraction + URL canonicalization over the web-page corpus.
+
+The primary engine source (north star): Common-Crawl-style Parquet
+``(url, warc_ts, html, text, lang)`` → stateless ``map_batches`` href
+extraction → canonical ``(src_url, dst_url)`` pairs → vertex dictionary →
+dense-id edge table → ``state.Graph``.
+
+Per-row invariant (BASELINE.json input_hint): the ``text`` column passes
+through BYTE-IDENTICAL per url — ``extract_text`` does a pure projection,
+and tests compare against the generator's ground truth.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+_HREF_RE = re.compile(r'href="([^"]*)"')
+
+
+def canonicalize_url(u: str) -> str | None:
+    """Minimal, deterministic canonicalization: strip whitespace + fragment,
+    keep absolute http(s) only."""
+    u = u.strip()
+    h = u.find("#")
+    if h >= 0:
+        u = u[:h]
+    if not (u.startswith("http://") or u.startswith("https://")) or len(u) <= 8:
+        return None
+    return u
+
+
+class ExtractLinks:
+    """Stateless actor-pool stage: html binary → exploded (src_url, dst_url).
+
+    Regex is compiled once per actor (__init__), applied per batch with
+    pandas string ops; output is deduped per page (document-level dedup —
+    the graph build dedups globally per shard)."""
+
+    def __init__(self):
+        self.href = _HREF_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        html = batch["html"].map(lambda b: b.decode("utf-8", "replace"))
+        targets = html.str.findall(self.href)
+        src, dst = [], []
+        for u, ts in zip(batch["url"].values, targets.values):
+            seen = set()
+            for t in ts:
+                c = canonicalize_url(t)
+                if c is not None and c not in seen:
+                    seen.add(c)
+                    src.append(u)
+                    dst.append(c)
+        return pd.DataFrame({"src_url": src, "dst_url": dst})
+
+
+def extract_links(corpus: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
+    # callable class → actor pool (regex compiled once per actor); autoscales
+    # within `concurrency` so the read stage isn't starved
+    return corpus.select_columns(["url", "html"]).map_batches(
+        ExtractLinks, batch_format="pandas", batch_size=2048, concurrency=concurrency
+    )
+
+
+def extract_text(corpus: ray.data.Dataset) -> ray.data.Dataset:
+    """Byte-identical text pass-through per url (north-rule invariant)."""
+    return corpus.select_columns(["url", "text"])
+
+
+# ---------------------------------------------------------------------------
+# vertex dictionary: deterministic dense rank of the sorted distinct urls
+# ---------------------------------------------------------------------------
+
+
+def _stable_hash_strings(arr: np.ndarray) -> np.ndarray:
+    """Deterministic cross-process uint64 hash of a string array (polars
+    xxhash with fixed seeds; builtin hash() is salted per process)."""
+    import polars as pl
+
+    return pl.Series(arr).hash(seed=42).to_numpy().astype(np.uint64)
+
+
+class _DedupKey:
+    def __init__(self, col):
+        self.col = col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({self.col: pc.unique(t[self.col])})
+
+
+class _AssignBucket:
+    def __init__(self, splitters_ref, col):
+        self.splitters_ref = splitters_ref
+        self.col = col
+        self._sp = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._sp is None:
+            self._sp = np.asarray(ray.get(self.splitters_ref), dtype=object)
+        vals = t[self.col].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(self._sp, vals, side="right").astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+
+class _RankBucket:
+    """Sort urls within a range bucket, emit local rank (dense, 0-based)."""
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        urls = g["url"].to_numpy(zero_copy_only=False)
+        urls = np.unique(urls)  # sorted + distinct
+        b = int(g["bucket"][0].as_py())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "bucket": pa.array(np.full(urls.size, b, np.int32)),
+                "local_rank": pa.array(np.arange(urls.size, dtype=np.int64)),
+            }
+        )
+
+
+class _AddOffset:
+    def __init__(self, offsets_ref):
+        self.offsets_ref = offsets_ref
+        self._off = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._off is None:
+            self._off = ray.get(self.offsets_ref)
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        lr = t["local_rank"].to_numpy(zero_copy_only=False)
+        vid = self._off[b] + lr
+        return pa.table(
+            {"url": t["url"], "vid": pa.array(vid.astype(np.int64), pa.int64())}
+        )
+
+
+def build_vertex_dictionary(
+    urls: ray.data.Dataset, sample_rate: int = 64, num_buckets_hint: int | None = None
+) -> ray.data.Dataset:
+    """(url) rows → (url, vid) with vid = rank of url in global sorted order.
+
+    Distributed dense rank (no driver-side sort of the full set):
+      1. per-batch distinct (combiner)
+      2. deterministic sample (stable hash % rate == 0) → range splitters
+      3. range-bucket assignment → groupby(bucket) shuffle → sort + local
+         rank per bucket
+      4. bucket counts → driver prefix-sum (B scalars) → broadcast offsets
+         → vid = offset[bucket] + local_rank
+
+    Deterministic: the splitter sample is a pure function of the url set.
+    Reference parity: the `_key_to_id` dict (classes/graph.py:378-381),
+    deterministic sorted-url enumeration per FIXTURES.md §2."""
+    from .._util import named
+
+    u = urls.map_batches(_DedupKey("url"), batch_format="pyarrow")
+
+    def _sample(t: pa.Table) -> pa.Table:
+        vals = t["url"].to_numpy(zero_copy_only=False)
+        keep = (_stable_hash_strings(vals) % np.uint64(sample_rate)) == 0
+        return pa.table({"url": pa.array(vals[keep], pa.string())})
+
+    sample = sorted(r["url"] for r in u.map_batches(_sample, batch_format="pyarrow").take_all())
+    nb = num_buckets_hint or max(1, min(64, len(sample) // 8 + 1))
+    if sample and nb > 1:
+        idx = np.linspace(0, len(sample) - 1, nb + 1).astype(int)[1:-1]
+        splitters = sorted(set(sample[i] for i in idx))
+    else:
+        splitters = []
+    sp_ref = ray.put(splitters)
+
+    ranked = (
+        u.map_batches(_AssignBucket(sp_ref, "url"), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(named(_RankBucket()), batch_format="pyarrow")
+        .materialize()
+    )
+    counts = {
+        int(r["bucket"]): int(r["count()"])
+        for r in ranked.groupby("bucket").count().take_all()
+    }
+    nb_total = len(splitters) + 1
+    offsets = np.zeros(nb_total, dtype=np.int64)
+    acc = 0
+    for b in range(nb_total):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_ref = ray.put(offsets)
+    return ranked.map_batches(_AddOffset(off_ref), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# url → vid mapping of the edge endpoint columns
+# ---------------------------------------------------------------------------
+
+
+class _BroadcastLookup:
+    def __init__(self, urls_ref, vids_ref, cols):
+        self.urls_ref, self.vids_ref, self.cols = urls_ref, vids_ref, cols
+        self._u = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._u is None:
+            self._u = ray.get(self.urls_ref)
+            self._v = ray.get(self.vids_ref)
+        out = {}
+        for col, alias in self.cols:
+            vals = t[col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self._u, vals)
+            pos = np.minimum(pos, len(self._u) - 1)
+            ok = self._u[pos] == vals
+            out[alias] = self._v[pos]
+            out[alias][~ok] = -1
+        mask = np.ones(t.num_rows, dtype=bool)
+        for _, alias in self.cols:
+            mask &= out[alias] >= 0
+        return pa.table({a: pa.array(v[mask], pa.int64()) for a, v in out.items()})
+
+
+def map_edges_to_ids(
+    links: ray.data.Dataset,
+    dictionary: ray.data.Dataset,
+    broadcast_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """(src_url, dst_url) → (src, dst) dense ids.
+
+    Small dictionary → broadcast (ray.put once, searchsorted per batch);
+    large → two bucketed hash joins (stages.hashjoin). Unknown endpoints
+    (urls outside the dictionary) are dropped."""
+    n_dict = dictionary.count()
+    if n_dict <= broadcast_limit:
+        tabs = [t for t in ray.get(dictionary.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(tabs)
+        urls = tbl["url"].to_numpy(zero_copy_only=False)
+        order = np.argsort(urls)
+        urls_ref = ray.put(urls[order])
+        vids_ref = ray.put(tbl["vid"].to_numpy(zero_copy_only=False)[order])
+        return links.map_batches(
+            _BroadcastLookup(urls_ref, vids_ref, [("src_url", "src"), ("dst_url", "dst")]),
+            batch_format="pyarrow",
+        )
+    from ..stages.hashjoin import lookup_join
+
+    with_src = lookup_join(links, "src_url", dictionary, "url", "vid", "src")
+    with_both = lookup_join(with_src, "dst_url", dictionary, "url", "vid", "dst")
+    return with_both.select_columns(["src", "dst"])
+
+
+def graph_from_corpus(
+    corpus: ray.data.Dataset,
+    *,
+    num_parts: int | None = None,
+    directed: bool = True,
+    broadcast_limit: int = 2_000_000,
+    name: str | None = None,
+):
+    """corpus → (Graph, vertex dictionary Dataset).
+
+    Vertex set = all page urls ∪ all link-target urls (reference
+    from_networkx semantics: nodes are the union of edge endpoints plus
+    declared nodes)."""
+    from ..state.graph import Graph
+
+    links = extract_links(corpus).materialize()
+    page_urls = corpus.select_columns(["url"])
+    tgt_urls = links.map_batches(
+        lambda t: pa.table({"url": t["dst_url"]}), batch_format="pyarrow"
+    )
+    dictionary = build_vertex_dictionary(page_urls.union(tgt_urls)).materialize()
+    n = dictionary.count()
+    edges = map_edges_to_ids(links, dictionary, broadcast_limit)
+    g = Graph(edges, n=n, directed=directed, num_parts=num_parts, name=name)
+    g._ensure_built()
+    return g, dictionary
