@@ -1,0 +1,63 @@
+"""Triangle family vs NetworkX — exact (counts) / allclose (coefficients).
+
+Mirrors the reference's K5 unit tests (algorithms/tests/test_cluster.py:7-53)
+including self-edge exclusion."""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from graphblas_algorithms_ray import Graph
+from graphblas_algorithms_ray.pipelines.triangles import (
+    average_clustering,
+    clustering,
+    total_triangles,
+    transitivity,
+    triangles_dict,
+)
+
+
+def _check(G_nx, n):
+    g = Graph(list(G_nx.edges()), n=n, directed=False, num_parts=3)
+    exp_tri = nx.triangles(G_nx)
+    assert triangles_dict(g) == exp_tri
+    assert total_triangles(g) == sum(exp_tri.values()) // 3
+    assert abs(transitivity(g) - nx.transitivity(G_nx)) < 1e-12
+    ours = clustering(g).to_pandas().set_index("v")["clustering"].to_dict()
+    theirs = nx.clustering(G_nx)
+    for v in theirs:
+        assert abs(ours[v] - theirs[v]) < 1e-12
+    assert abs(average_clustering(g) - nx.average_clustering(G_nx)) < 1e-12
+
+
+def test_k5():
+    G = nx.complete_graph(5)
+    _check(G, 5)
+    # K5 exact values from the reference's own test
+    g = Graph(list(G.edges()), n=5, directed=False, num_parts=2)
+    assert triangles_dict(g) == {v: 6 for v in range(5)}
+    assert total_triangles(g) == 10
+    assert transitivity(g) == 1.0
+
+
+def test_k5_with_self_edges():
+    # self-edges must be excluded (cluster.py offdiag semantics)
+    G = nx.complete_graph(5)
+    edges = list(G.edges()) + [(v, v) for v in range(5)]
+    g = Graph(edges, n=5, directed=False, num_parts=2)
+    assert triangles_dict(g) == {v: 6 for v in range(5)}
+    assert total_triangles(g) == 10
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_random(seed):
+    G = nx.gnp_random_graph(80, 0.08, seed=seed)
+    G.add_nodes_from(range(90))  # isolated vertices count 0
+    _check(G, 90)
+
+
+def test_triangle_free():
+    G = nx.cycle_graph(10)  # no triangles
+    g = Graph(list(G.edges()), n=10, directed=False, num_parts=3)
+    assert total_triangles(g) == 0
+    assert triangles_dict(g) == {v: 0 for v in range(10)}
