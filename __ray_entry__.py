@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself BEFORE importing this module;
+nothing here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()``   — flagship pipeline on /root/testdata/sf0.001: synthesize the
+                Common-Crawl-style corpus, extract links, build the graph,
+                run PageRank, join scores back to urls.
+``queries()`` — one callable per implemented operator (SURVEY.md §2);
+                each takes sf_dir and returns Dataset/DataFrame/Table.
+``oracle_sql()`` — matching DuckDB SQL per SQL-expressible query, same
+                column names and value representations.
 """
 
 from __future__ import annotations
@@ -20,25 +19,30 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Corpus → link extraction → Graph → PageRank → top-1000 url scores."""
+    import ray.data
+
+    from graphblas_algorithms_ray.sources.corpus import corpus_parquet
+    from graphblas_algorithms_ray.sources.extract import graph_from_corpus
+    from graphblas_algorithms_ray.pipelines.pagerank import pagerank
+
+    corpus = ray.data.read_parquet(corpus_parquet(1000))
+    g, dictionary = graph_from_corpus(corpus, num_parts=8)
+    pr = pagerank(g)
+    # join scores back to urls through the vertex dictionary (small side)
+    scores = pr.to_pandas()
+    urls = dictionary.to_pandas()
+    out = urls.merge(scores, left_on="vid", right_on="v")[["url", "pagerank"]]
+    return out.sort_values("pagerank", ascending=False).head(1000).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from graphblas_algorithms_ray.api import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from graphblas_algorithms_ray.api import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,500 @@
+"""Query registry + DuckDB oracle SQL — the driver's correctness contract.
+
+Every implemented operator gets BOTH a ``queries()`` callable (Ray pipeline
+over the sf_dir parquet tables) and, when SQL-expressible, an
+``oracle_sql()`` ANSI-SQL string producing the SAME column names and value
+representations (iterative kernels are unrolled to a fixed superstep count
+on both sides so the comparison is exact).
+
+The canonical graph for SQL-checkable graph queries is derived from
+lineitem: ``src = l_orderkey % 937``, ``dst = l_partkey % 937`` (DISTINCT)
+over the dense vertex universe 0..936 — deterministic, dense enough to have
+triangles/reciprocity/dangling vertices, and expressible identically in SQL.
+
+Float discipline (drives hash-matching):
+  * single divisions of exact integers → emitted raw (bit-identical);
+  * reordered float sums (pagerank, window sums, cosine) → rounded on both
+    sides (8/6 dp) with identical operand expressions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+M = 937  # vertex universe of the lineitem-derived graph
+ALPHA = 0.85
+PR_ITERS = 10
+LPA_ITERS = 5
+
+_graph_cache: dict = {}
+
+
+def _lineitem_edges_ds(sf_dir: str):
+    import ray.data
+
+    def _mod(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array((o % M).astype(np.int64)),
+                "dst": pa.array((p % M).astype(np.int64)),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).map_batches(_mod, batch_format="pyarrow")
+
+
+def lineitem_graph(sf_dir: str, directed: bool = True):
+    """The canonical derived graph, cached per (sf_dir, directed)."""
+    from .state.graph import Graph
+
+    key = (sf_dir, directed)
+    if key not in _graph_cache:
+        g = Graph(
+            _lineitem_edges_ds(sf_dir),
+            n=M,
+            directed=directed,
+            num_parts=8,
+            name=f"li_{'d' if directed else 'u'}_{abs(hash(sf_dir)) % 10**8}",
+        )
+        g._ensure_built()
+        _graph_cache[key] = g
+    return _graph_cache[key]
+
+
+def _docs(sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _scalar_df(**cols) -> pd.DataFrame:
+    return pd.DataFrame({k: [v] for k, v in cols.items()})
+
+
+# ---------------------------------------------------------------------------
+# Ray-side query callables
+# ---------------------------------------------------------------------------
+
+
+def q_edges(sf_dir):
+    return lineitem_graph(sf_dir).edges_ds()
+
+
+def q_out_degree(sf_dir):
+    ds = lineitem_graph(sf_dir).degrees_ds("out")
+    return ds.map_batches(
+        lambda t: pa.table({"v": t["v"], "out_degree": t["degree"]}),
+        batch_format="pyarrow",
+    )
+
+
+def q_in_degree(sf_dir):
+    ds = lineitem_graph(sf_dir).degrees_ds("in")
+    return ds.map_batches(
+        lambda t: pa.table({"v": t["v"], "in_degree": t["degree"]}),
+        batch_format="pyarrow",
+    )
+
+
+def q_degree_centrality(sf_dir):
+    from .pipelines.centrality import degree_centrality
+
+    return degree_centrality(lineitem_graph(sf_dir), mode="total")
+
+
+def q_pagerank(sf_dir):
+    from .pipelines.pagerank import pagerank
+
+    pr = pagerank(
+        lineitem_graph(sf_dir),
+        alpha=ALPHA,
+        max_iter=PR_ITERS,
+        tol=0.0,  # fixed-iteration mode: never converges early
+        raise_on_failure=False,
+    )
+    return pr.map_batches(
+        lambda t: pa.table(
+            {
+                "v": t["v"],
+                "pagerank": pa.array(
+                    np.round(t["pagerank"].to_numpy(zero_copy_only=False), 8)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_components(sf_dir):
+    from .pipelines.components import connected_components
+
+    return connected_components(lineitem_graph(sf_dir, directed=False))
+
+
+def q_lpa(sf_dir):
+    from .pipelines.label_prop import label_propagation
+
+    return label_propagation(lineitem_graph(sf_dir, directed=False), max_iter=LPA_ITERS)
+
+
+def q_triangles(sf_dir):
+    from .pipelines.triangles import triangles
+
+    return triangles(lineitem_graph(sf_dir, directed=False))
+
+
+def q_total_triangles(sf_dir):
+    from .pipelines.triangles import total_triangles
+
+    return _scalar_df(total_triangles=int(total_triangles(lineitem_graph(sf_dir, directed=False))))
+
+
+def q_transitivity(sf_dir):
+    from .pipelines.triangles import total_triangles, _degree_sq_sum
+
+    g = lineitem_graph(sf_dir, directed=False)
+    denom = _degree_sq_sum(g)
+    t = total_triangles(g)
+    val = 6.0 * t / denom if denom else 0.0
+    return _scalar_df(transitivity=float(val))
+
+
+def q_clustering(sf_dir):
+    from .pipelines.triangles import clustering
+
+    return clustering(lineitem_graph(sf_dir, directed=False))
+
+
+def q_reciprocity(sf_dir):
+    from .pipelines.structure import overall_reciprocity
+
+    return _scalar_df(reciprocity=float(overall_reciprocity(lineitem_graph(sf_dir))))
+
+
+def q_isolates(sf_dir):
+    from .pipelines.structure import isolates
+
+    return isolates(lineitem_graph(sf_dir))
+
+
+def q_s_metric(sf_dir):
+    from .pipelines.structure import s_metric
+
+    return _scalar_df(s_metric=float(s_metric(lineitem_graph(sf_dir, directed=False))))
+
+
+def q_cut_metrics(sf_dir):
+    from .pipelines.structure import cut_metrics
+
+    m = cut_metrics(lineitem_graph(sf_dir), lambda v: v % 7 == 0)
+    return _scalar_df(**m)
+
+
+def q_community_edges(sf_dir):
+    from .pipelines.structure import community_edge_counts
+
+    m = community_edge_counts(lineitem_graph(sf_dir), lambda v: v % 5)
+    return _scalar_df(**m)
+
+
+def q_doc_dedup(sf_dir):
+    from .pipelines.text import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_doc_fingerprint(sf_dir):
+    from .pipelines.text import doc_fingerprint
+
+    return doc_fingerprint(_docs(sf_dir))
+
+
+def q_token_stats(sf_dir):
+    from .pipelines.text import token_stats
+
+    return token_stats(_docs(sf_dir))
+
+
+def q_quality(sf_dir):
+    from .pipelines.text import quality_score
+
+    return quality_score(_docs(sf_dir))
+
+
+def q_lang_distribution(sf_dir):
+    from .pipelines.text import lang_distribution
+
+    return lang_distribution(_docs(sf_dir))
+
+
+def q_events_hourly(sf_dir):
+    import ray.data
+    from .pipelines.events import hourly_windows
+
+    return hourly_windows(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_sessions(sf_dir):
+    import ray.data
+    from .pipelines.events import sessionize
+
+    return sessionize(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_ann_topk(sf_dir):
+    import ray.data
+    from .pipelines.ann import ann_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk(emb, query_ids=[0, 1, 2], k=5, round_to=6)
+
+
+def q_centroids(sf_dir):
+    import ray.data
+    from .pipelines.ann import embedding_centroids
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_centroids(emb)
+
+
+# -- corpus-pipeline queries (no SQL oracle; rows-only driver check) --------
+
+_corpus_graph_cache: dict = {}
+
+
+def _corpus_graph(sf_dir):
+    if sf_dir not in _corpus_graph_cache:
+        import ray.data
+        from .sources.corpus import corpus_parquet
+        from .sources.extract import graph_from_corpus
+
+        n_docs = {"0.001": 1000, "0.01": 5000, "0.1": 20000}.get(
+            sf_dir.rstrip("/").split("sf")[-1], 1000
+        )
+        corpus = ray.data.read_parquet(corpus_parquet(n_docs))
+        g, d = graph_from_corpus(corpus, num_parts=8)
+        _corpus_graph_cache[sf_dir] = (g, d)
+    return _corpus_graph_cache[sf_dir]
+
+
+def q_corpus_pagerank(sf_dir):
+    from .pipelines.pagerank import pagerank
+
+    g, _ = _corpus_graph(sf_dir)
+    return pagerank(g)
+
+
+def q_corpus_components(sf_dir):
+    from .pipelines.components import connected_components
+
+    g, _ = _corpus_graph(sf_dir)
+    return connected_components(g)
+
+
+def q_corpus_extract_text(sf_dir):
+    import ray.data
+    from .sources.corpus import corpus_parquet
+    from .sources.extract import extract_text
+
+    n_docs = {"0.001": 1000, "0.01": 5000, "0.1": 20000}.get(
+        sf_dir.rstrip("/").split("sf")[-1], 1000
+    )
+    return extract_text(ray.data.read_parquet(corpus_parquet(n_docs)))
+
+
+QUERIES = {
+    "edges": q_edges,
+    "out_degree": q_out_degree,
+    "in_degree": q_in_degree,
+    "degree_centrality": q_degree_centrality,
+    "pagerank10": q_pagerank,
+    "connected_components": q_components,
+    "label_propagation5": q_lpa,
+    "triangles_per_node": q_triangles,
+    "total_triangles": q_total_triangles,
+    "transitivity": q_transitivity,
+    "clustering_coefficient": q_clustering,
+    "reciprocity_overall": q_reciprocity,
+    "isolates": q_isolates,
+    "s_metric": q_s_metric,
+    "cut_metrics": q_cut_metrics,
+    "community_edge_counts": q_community_edges,
+    "doc_exact_dedup": q_doc_dedup,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_token_stats": q_token_stats,
+    "doc_quality": q_quality,
+    "lang_distribution": q_lang_distribution,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_sessions,
+    "ann_topk": q_ann_topk,
+    "embedding_centroids": q_centroids,
+    "corpus_pagerank": q_corpus_pagerank,
+    "corpus_components": q_corpus_components,
+    "corpus_extract_text": q_corpus_extract_text,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_G = f"""verts AS (SELECT range::BIGINT AS v FROM range({M})),
+edges AS (SELECT DISTINCT (l_orderkey % {M})::BIGINT AS src, (l_partkey % {M})::BIGINT AS dst FROM lineitem),
+uedges AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS w FROM edges WHERE src <> dst),
+sym AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+odeg AS (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src),
+udeg AS (SELECT verts.v, COALESCE(c.d, 0)::BIGINT AS d FROM verts LEFT JOIN (SELECT x AS v, COUNT(*) AS d FROM (SELECT u AS x FROM uedges UNION ALL SELECT w FROM uedges) GROUP BY x) c USING (v))"""
+
+_TRI = """tri AS (SELECT e1.u AS x, e1.w AS y, e2.w AS z
+  FROM uedges e1 JOIN uedges e2 ON e2.u = e1.w
+  JOIN uedges e3 ON e3.u = e1.u AND e3.w = e2.w)"""
+
+
+def _pagerank_sql() -> str:
+    parts = [f"WITH {_G},\nr0 AS (SELECT v, 1.0/{M} AS r FROM verts)"]
+    for i in range(PR_ITERS):
+        parts.append(
+            f""",
+dm{i} AS (SELECT COALESCE(SUM(r), 0) AS m FROM r{i} WHERE v NOT IN (SELECT v FROM odeg)),
+r{i + 1} AS (
+  SELECT verts.v,
+         (1 - {ALPHA})/{M} + {ALPHA} * (SELECT m FROM dm{i})/{M} + COALESCE(c.s, 0) AS r
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, SUM({ALPHA} * rr.r / o.d) AS s
+    FROM edges e JOIN r{i} rr ON rr.v = e.src JOIN odeg o ON o.v = e.src
+    GROUP BY e.dst) c USING (v))"""
+        )
+    parts.append(f"\nSELECT v, ROUND(r, 8) AS pagerank FROM r{PR_ITERS} ORDER BY v")
+    return "".join(parts)
+
+
+def _lpa_sql() -> str:
+    parts = [f"WITH {_G},\nl0 AS (SELECT v, v AS lab FROM verts)"]
+    for i in range(LPA_ITERS):
+        parts.append(
+            f""",
+l{i + 1} AS (
+  SELECT l.v, COALESCE(w.lab, l.lab) AS lab
+  FROM l{i} l LEFT JOIN (
+    SELECT v, lab FROM (
+      SELECT s.a AS v, x.lab AS lab,
+             ROW_NUMBER() OVER (PARTITION BY s.a ORDER BY COUNT(*) DESC, x.lab ASC) AS rn
+      FROM sym s JOIN l{i} x ON x.v = s.b
+      GROUP BY s.a, x.lab) t WHERE rn = 1) w USING (v))"""
+        )
+    parts.append(f"\nSELECT v, lab::BIGINT AS label FROM l{LPA_ITERS} ORDER BY v")
+    return "".join(parts)
+
+
+ORACLE_SQL = {
+    "edges": f"WITH {_G} SELECT src, dst FROM edges ORDER BY src, dst",
+    "out_degree": f"""WITH {_G}
+SELECT verts.v, COALESCE(c.d, 0)::BIGINT AS out_degree
+FROM verts LEFT JOIN (SELECT src AS v, COUNT(*) AS d FROM edges GROUP BY src) c USING (v) ORDER BY v""",
+    "in_degree": f"""WITH {_G}
+SELECT verts.v, COALESCE(c.d, 0)::BIGINT AS in_degree
+FROM verts LEFT JOIN (SELECT dst AS v, COUNT(*) AS d FROM edges GROUP BY dst) c USING (v) ORDER BY v""",
+    "degree_centrality": f"""WITH {_G}
+SELECT verts.v,
+       (COALESCE(o.d, 0) + COALESCE(i.d, 0)) / {M - 1}.0 AS centrality
+FROM verts
+LEFT JOIN (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src) o USING (v)
+LEFT JOIN (SELECT dst AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY dst) i USING (v)
+ORDER BY v""",
+    "pagerank10": _pagerank_sql(),
+    "connected_components": f"""WITH RECURSIVE {_G},
+walk(v, lab) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT s.b, w.lab FROM walk w JOIN sym s ON s.a = w.v WHERE w.lab < s.b
+)
+SELECT v, MIN(lab)::BIGINT AS component FROM walk GROUP BY v ORDER BY v""",
+    "label_propagation5": _lpa_sql(),
+    "triangles_per_node": f"""WITH {_G}, {_TRI}
+SELECT verts.v, COALESCE(c.n, 0)::BIGINT AS triangles
+FROM verts LEFT JOIN (
+  SELECT corner AS v, COUNT(*) AS n FROM (
+    SELECT x AS corner FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) q
+  GROUP BY corner) c USING (v) ORDER BY v""",
+    "total_triangles": f"WITH {_G}, {_TRI} SELECT COUNT(*)::BIGINT AS total_triangles FROM tri",
+    "transitivity": f"""WITH {_G}, {_TRI}
+SELECT 6.0 * (SELECT COUNT(*) FROM tri) / (SELECT SUM(d * (d - 1.0)) FROM udeg) AS transitivity""",
+    "clustering_coefficient": f"""WITH {_G}, {_TRI}
+SELECT udeg.v,
+       CASE WHEN udeg.d >= 2 THEN (2.0 * COALESCE(c.n, 0)) / (udeg.d * (udeg.d - 1.0)) ELSE 0.0 END AS clustering
+FROM udeg LEFT JOIN (
+  SELECT corner AS v, COUNT(*) AS n FROM (
+    SELECT x AS corner FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) q
+  GROUP BY corner) c USING (v) ORDER BY udeg.v""",
+    "reciprocity_overall": f"""WITH {_G}
+SELECT (SELECT COUNT(*) FROM edges e JOIN edges r ON e.src = r.dst AND e.dst = r.src)::DOUBLE
+       / (SELECT COUNT(*) FROM edges) AS reciprocity""",
+    "isolates": f"""WITH {_G}
+SELECT v FROM verts
+WHERE v NOT IN (SELECT src FROM edges) AND v NOT IN (SELECT dst FROM edges) ORDER BY v""",
+    "s_metric": f"""WITH {_G}
+SELECT SUM(du.d * dw.d)::DOUBLE AS s_metric
+FROM uedges JOIN udeg du ON du.v = uedges.u JOIN udeg dw ON dw.v = uedges.w""",
+    "cut_metrics": f"""WITH {_G},
+cut AS (SELECT COUNT(*)::BIGINT AS c FROM edges WHERE src % 7 = 0 AND dst % 7 <> 0),
+vol AS (SELECT
+  SUM(CASE WHEN src % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS vs,
+  SUM(CASE WHEN src % 7 <> 0 THEN 1 ELSE 0 END)::BIGINT AS vt FROM edges)
+SELECT cut.c AS cut_size, vol.vs AS volume_s, vol.vt AS volume_t,
+       cut.c::DOUBLE / least(vol.vs, vol.vt) AS conductance
+FROM cut, vol""",
+    "community_edge_counts": f"""WITH {_G}
+SELECT SUM(CASE WHEN src % 5 = dst % 5 THEN 1 ELSE 0 END)::BIGINT AS intra,
+       SUM(CASE WHEN src % 5 <> dst % 5 THEN 1 ELSE 0 END)::BIGINT AS inter
+FROM edges""",
+    "doc_exact_dedup": """SELECT md5(text) AS h, MIN(doc_id)::BIGINT AS keeper, COUNT(*)::BIGINT AS n
+FROM documents GROUP BY 1 ORDER BY h""",
+    "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "doc_token_stats": """SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ('the','and','of','a','to','in','is')))::BIGINT AS n_stopwords,
+  length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS n_upper,
+  length(text)::BIGINT AS n_chars_py
+FROM documents ORDER BY doc_id""",
+    "doc_quality": """WITH s AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ('the','and','of','a','to','in','is')))::DOUBLE AS n_stop,
+    length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE AS n_upper,
+    length(text)::DOUBLE AS n_chars
+  FROM documents)
+SELECT doc_id, n_tokens,
+  CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS chars_per_token,
+  CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stopword_ratio,
+  CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END AS upper_ratio
+FROM s ORDER BY doc_id""",
+    "lang_distribution": "SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang",
+    "events_hourly": """SELECT event_type, date_trunc('hour', ts) AS hour,
+  COUNT(*)::BIGINT AS n, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_sessions": """WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM o)
+SELECT user_id, session_id::BIGINT AS session_id, COUNT(*)::BIGINT AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "ann_topk": """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2))
+SELECT qid, nid, ROUND(sim, 6) AS score FROM (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY sim DESC, e.vec_id ASC) AS rn
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) t
+WHERE rn <= 5 ORDER BY qid, score DESC, nid""",
+}

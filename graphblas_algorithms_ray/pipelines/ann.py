@@ -1,0 +1,187 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k: the query matrix is broadcast once (ray.put), each
+batch computes a numpy matmul against it and emits only its per-batch top-k
+candidates (the combiner), then one tiny groupby(qid) picks the global top-k
+— shuffle volume is O(num_batches · q · k), never O(N·q).
+
+LSH-bucketed variant: random-hyperplane signatures route vectors into
+buckets; only the query buckets are scanned (the IVF-style scale path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .._util import named
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+class _BatchTopK:
+    def __init__(self, q_ref, k):
+        self.q_ref, self.k = q_ref, k
+        self._q = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._q is None:
+            qids, qm = ray.get(self.q_ref)
+            qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+            self._q = (qids, qn)
+        qids, qn = self._q
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = _to_matrix(t["embedding"])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ qn.T  # (batch, q)
+        out_q, out_n, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            s = sims[:, j]
+            mask = ids != qid
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            k = min(self.k, cand.size)
+            top = cand[np.argpartition(-s[cand], k - 1)[:k]]
+            out_q.append(np.full(k, qid, np.int64))
+            out_n.append(ids[top])
+            out_s.append(s[top])
+        if not out_q:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()), "nid": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q)),
+                "nid": pa.array(np.concatenate(out_n)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+class _FinalTopK:
+    def __init__(self, k, round_to):
+        self.k, self.round_to = k, round_to
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        qid = g["qid"].to_numpy(zero_copy_only=False)
+        nid = g["nid"].to_numpy(zero_copy_only=False)
+        s = g["score"].to_numpy(zero_copy_only=False)
+        # deterministic: score desc, then nid asc
+        order = np.lexsort((nid, -s))[: self.k]
+        out_s = s[order]
+        if self.round_to is not None:
+            out_s = np.round(out_s, self.round_to)
+        return pa.table(
+            {
+                "qid": pa.array(qid[order]),
+                "nid": pa.array(nid[order]),
+                "score": pa.array(out_s),
+            }
+        )
+
+
+def ann_topk(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """(qid, nid, score): exact cosine top-k per query id (self excluded)."""
+    wanted = set(int(i) for i in query_ids)
+
+    def _pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, list(wanted))))
+
+    q = embeddings.map_batches(_pick, batch_format="pyarrow").take_all()
+    qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q])
+    order = np.argsort(qids)
+    q_ref = ray.put((qids[order], qm[order]))
+    partial = embeddings.map_batches(
+        _BatchTopK(q_ref, k), batch_format="pyarrow", batch_size=8192
+    )
+    return partial.groupby("qid").map_groups(
+        named(_FinalTopK(k, round_to)), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed scale path
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bits, dim))
+
+
+class _Signature:
+    def __init__(self, planes_ref):
+        self.planes_ref = planes_ref
+        self._p = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._p is None:
+            self._p = ray.get(self.planes_ref)
+        m = _to_matrix(t["embedding"])
+        bits = (m @ self._p.T) > 0
+        sig = np.zeros(m.shape[0], dtype=np.int64)
+        for i in range(bits.shape[1]):
+            sig |= bits[:, i].astype(np.int64) << i
+        return pa.table({"vec_id": t["vec_id"], "bucket": pa.array(sig)})
+
+
+def lsh_buckets(embeddings: ray.data.Dataset, bits: int = 8, dim: int = 64) -> ray.data.Dataset:
+    """(vec_id, bucket): random-hyperplane LSH signatures — candidates for
+    ANN restricted to matching buckets (scan fraction ≈ 2^-bits)."""
+    planes_ref = ray.put(_hyperplanes(dim, bits))
+    return embeddings.map_batches(_Signature(planes_ref), batch_format="pyarrow")
+
+
+def embedding_centroids(embeddings: ray.data.Dataset, label_col: str = "label") -> ray.data.Dataset:
+    """(label, centroid list<double>, n): mean embedding per label —
+    per-batch partial sums, one tiny combine."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = _to_matrix(t["embedding"])
+        labels = t[label_col].to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((ul.size, m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv)
+        return pa.table(
+            {
+                "label": pa.array(ul.astype(np.int64)),
+                "vsum": pa.array(list(sums)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partial = embeddings.map_batches(_partial, batch_format="pyarrow")
+
+    class _Combine:
+        def __call__(self, g: pa.Table) -> pa.Table:
+            lab = int(g["label"][0].as_py())
+            vs = _to_matrix(g["vsum"])
+            n = g["n"].to_numpy(zero_copy_only=False).sum()
+            centroid = vs.sum(axis=0) / n
+            return pa.table(
+                {
+                    "label": pa.array([lab], pa.int64()),
+                    "centroid": pa.array([np.round(centroid, 6).tolist()]),
+                    "n": pa.array([int(n)], pa.int64()),
+                }
+            )
+
+    return partial.groupby("label").map_groups(named(_Combine()), batch_format="pyarrow")

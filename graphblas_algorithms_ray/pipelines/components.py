@@ -172,6 +172,14 @@ def is_connected(G) -> bool:
 
 def node_connected_component(G, v: int):
     """Vertex set of v's component (``connected.py:11-12``)."""
-    labels = connected_components(G)
-    target = labels.filter(expr=f"v == {int(v)}").take_all()[0]["component"]
-    return labels.filter(expr=f"component == {int(target)}").select_columns(["v"])
+    import pyarrow.compute as pc
+
+    labels = connected_components(G).materialize()
+    vv = int(v)
+    target = labels.map_batches(
+        lambda t: t.filter(pc.equal(t["v"], vv)), batch_format="pyarrow"
+    ).take_all()[0]["component"]
+    tgt = int(target)
+    return labels.map_batches(
+        lambda t: t.filter(pc.equal(t["component"], tgt)), batch_format="pyarrow"
+    ).select_columns(["v"])

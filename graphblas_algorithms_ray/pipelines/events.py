@@ -1,0 +1,84 @@
+"""Stream-shaped operators over the events table (ts-ordered log).
+
+Ray Data has no event-time windows; tumbling windows are a key-bucketed
+groupby with the bucket computed vectorized per batch (pre-aggregated —
+the combiner), sessions are per-user map_groups over ts-sorted rows.
+Ordering assumption: none for tumbling (bucketing is stateless); sessions
+sort within the user group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .._util import named
+
+
+def hourly_windows(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(event_type, hour, n, sum_value): tumbling 1h event-time windows."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        tt = pa.table(
+            {"event_type": t["event_type"], "hour": hour, "value": t["value"]}
+        )
+        df = tt.to_pandas()
+        g = (
+            df.groupby(["event_type", "hour"], sort=False)["value"]
+            .agg(n="size", sum_value="sum")
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = events.select_columns(["event_type", "ts", "value"]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    out = partial.groupby(["event_type", "hour"]).aggregate(
+        ray.data.aggregate.Sum("n", alias_name="n"),
+        ray.data.aggregate.Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        # np.round (scale→rint→unscale) matches DuckDB ROUND bit-for-bit on
+        # these values; pc.round uses a different algorithm and can keep
+        # 18.580000000000002 instead of snapping to 18.58
+        sv = np.round(t["sum_value"].to_numpy(zero_copy_only=False), 6)
+        return t.set_column(
+            t.schema.get_field_index("sum_value"), "sum_value", pa.array(sv)
+        )
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Dataset:
+    """(user_id, session_id, n_events, start_ts, end_ts): session windows per
+    user, new session when the gap to the previous event exceeds the
+    threshold. groupby(user).map_groups over ts-sorted rows."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    class _Sessions:
+        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"])
+            ts = g["ts"].values
+            new = np.ones(len(g), dtype=bool)
+            if len(g) > 1:
+                new[1:] = (ts[1:] - ts[:-1]) > gap
+            sid = np.cumsum(new) - 1
+            out = (
+                pd.DataFrame({"session_id": sid, "ts": ts})
+                .groupby("session_id")
+                .agg(n_events=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max"))
+                .reset_index()
+            )
+            out.insert(0, "user_id", g["user_id"].iloc[0])
+            return out
+
+    return (
+        events.select_columns(["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(named(_Sessions()), batch_format="pandas")
+    )

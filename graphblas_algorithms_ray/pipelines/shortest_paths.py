@@ -1,0 +1,198 @@
+"""Weighted shortest paths — frontier-pruned Bellman-Ford (min_plus SpMV).
+
+Reference: ``algorithms/shortest_paths/weighted.py:17-105``
+(``single_source_bellman_ford_path_length``): iterate relaxations over
+``offdiag`` with the min_plus semiring, keep only improved vertices in the
+frontier, detect negative cycles by improvement past n-1 rounds (raises
+Unbounded, ``:87-100``). Iso/non-negative graphs could downgrade to level
+BFS (``:25-38``) — we keep the general kernel and expose BFS separately.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from .._util import STAT_CHANGED, state_table, stats_rows, universe, universe_size
+from ..stages import spmv
+from ..stages.fixpoint import run_iteration
+
+_INF = np.inf
+
+
+class Unbounded(RuntimeError):
+    """Negative cycle reachable from the source (reference ``weighted.py:100``)."""
+
+
+class _BFInit:
+    def __init__(self, n, num_parts, source):
+        self.n, self.P, self.src = n, num_parts, int(source)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = []
+        for k in t["id"].to_numpy(zero_copy_only=False):
+            k = int(k)
+            uni = universe(k, self.n, self.P)
+            if uni.size == 0:
+                continue
+            dist = np.full(uni.size, _INF)
+            act = np.zeros(uni.size, np.int64)
+            if self.src % self.P == k:
+                dist[self.src // self.P] = 0.0
+                act[self.src // self.P] = 1
+            out.append(state_table(k, 0, uni, f0=dist, i0=act))
+        if not out:
+            return state_table(0, 0, np.empty(0, np.int64))
+        return pa.concat_tables(out)
+
+
+class _BFSpMV:
+    """Active rows relax: scatter (dst, dist + w), min-combined per batch.
+
+    Self-loops are skipped (offdiag semantics, ``weighted.py:17-24``)."""
+
+    def __init__(self, csr_refs, num_parts, weighted):
+        self.cache = spmv.CsrCache(csr_refs)
+        self.P = num_parts
+        self.weighted = weighted
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.and_(pc.equal(t["kind"], 0), pc.greater_equal(t["v"], 0)))
+        if t.num_rows == 0:
+            return state_table(0, 0, np.empty(0, np.int64))
+        b = spmv.batch_numpy(t)
+        out = [t]
+        active = b["i0"] == 1
+        for k, sel in spmv.iter_parts(b):
+            csr = self.cache.get(k)
+            idx = np.nonzero(active)[0] if isinstance(sel, slice) else sel[active[sel]]
+            v, dist = b["v"][idx], b["f0"][idx]
+            rows, pos = spmv.match_sources(csr, v)
+            if rows.size == 0:
+                continue
+            indptr = csr["indptr"]
+            lens = indptr[pos + 1] - indptr[pos]
+            eidx = spmv.concat_ranges(indptr[pos], lens)
+            dsts = csr["dst"][eidx]
+            base = np.repeat(dist[rows], lens)
+            srcs = np.repeat(v[rows], lens)
+            w = (
+                csr["weight"][eidx]
+                if self.weighted and csr.get("weight") is not None
+                else 1.0
+            )
+            vals = base + w
+            keep = dsts != srcs  # offdiag: self-loops never relax
+            ud, mins = spmv.precombine_min(dsts[keep], vals[keep])
+            out.append(state_table((ud % self.P).astype(np.int32), 1, ud, f0=mins))
+        return pa.concat_tables(out)
+
+
+class _BFCombine:
+    def __init__(self, n, num_parts):
+        self.n, self.P = n, num_parts
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        b = spmv.batch_numpy(g)
+        k = int(b["part"][0])
+        usize = universe_size(k, self.n, self.P)
+        kind, v = b["kind"], b["v"]
+        st = (kind == 0) & (v >= 0)
+        dist = np.full(usize, _INF)
+        dist[v[st] // self.P] = b["f0"][st]
+        new = dist.copy()
+        msg = kind == 1
+        np.minimum.at(new, v[msg] // self.P, b["f0"][msg])
+        improved = new < dist
+        uni = universe(k, self.n, self.P)
+        return pa.concat_tables(
+            [
+                state_table(k, 0, uni, f0=new, i0=improved.astype(np.int64)),
+                stats_rows(k, {STAT_CHANGED: float(improved.sum())}),
+            ]
+        )
+
+
+def bellman_ford_path_length(G, source) -> ray.data.Dataset:
+    """(v, dist) for reachable vertices. Raises Unbounded on a reachable
+    negative cycle."""
+    G._ensure_built()
+    n, P = G.n, G.num_parts
+    state = (
+        ray.data.range(P, override_num_blocks=P)
+        .map_batches(_BFInit(n, P, source), batch_format="pyarrow")
+        .materialize()
+    )
+    it = 0
+    while True:
+        state, stats = run_iteration(
+            state, _BFSpMV(G.csr_refs, P, G.weighted), _BFCombine(n, P)
+        )
+        it += 1
+        if stats.get(STAT_CHANGED, 0.0) == 0:
+            break
+        if it > n:
+            raise Unbounded("negative cycle reachable from source")
+
+    def _strip(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.equal(t["kind"], 0), pc.greater_equal(t["v"], 0)),
+                pc.less(t["f0"], np.inf),
+            )
+        )
+        return pa.table({"v": t["v"], "dist": t["f0"]})
+
+    return state.map_batches(_strip, batch_format="pyarrow")
+
+
+def bellman_ford_dict(G, source) -> dict:
+    df = bellman_ford_path_length(G, source).to_pandas()
+    return dict(zip(df["v"].astype(int), df["dist"].astype(float)))
+
+
+def negative_edge_cycle(G) -> bool:
+    """Reference ``weighted.py:311-348`` — any negative cycle in the graph:
+    run BF from a virtual super-source (dist 0 everywhere) and watch for
+    improvement past n rounds."""
+    G._ensure_built()
+    n, P = G.n, G.num_parts
+
+    class _AllInit(_BFInit):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = []
+            for k in t["id"].to_numpy(zero_copy_only=False):
+                k = int(k)
+                uni = universe(k, n, P)
+                if uni.size == 0:
+                    continue
+                out.append(
+                    state_table(
+                        k, 0, uni, f0=np.zeros(uni.size), i0=np.ones(uni.size, np.int64)
+                    )
+                )
+            if not out:
+                return state_table(0, 0, np.empty(0, np.int64))
+            return pa.concat_tables(out)
+
+    state = (
+        ray.data.range(P, override_num_blocks=P)
+        .map_batches(_AllInit(n, P, 0), batch_format="pyarrow")
+        .materialize()
+    )
+    it = 0
+    while True:
+        state, stats = run_iteration(
+            state, _BFSpMV(G.csr_refs, P, G.weighted), _BFCombine(n, P)
+        )
+        it += 1
+        if stats.get(STAT_CHANGED, 0.0) == 0:
+            return False
+        if it > n:
+            return True

@@ -1,0 +1,212 @@
+"""Text-analysis stages over the documents table — the training-data-pipeline
+operators (language stats, token counting, quality scoring, fingerprinting,
+exact dedup). All per-batch vectorized or hash-bound; aggregation is
+pre-combined per batch before the one groupby shuffle.
+
+Token definition shared with the SQL oracles: tokens = maximal runs of
+non-whitespace (``\\S+``); empty/whitespace-only text has 0 tokens.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_WS = re.compile(r"\S+")
+_UPPER = re.compile(r"[A-Z]")
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")
+
+
+def _md5s(texts) -> list[str]:
+    return [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+class _Fingerprint:
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {"doc_id": t["doc_id"], "fp": pa.array(_md5s(texts), pa.string())}
+        )
+
+
+def doc_fingerprint(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, fp): md5 content fingerprint per document."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _Fingerprint(), batch_format="pyarrow"
+    )
+
+
+class _DedupPartial:
+    """Per-batch combiner: (hash → min doc_id, count)."""
+
+    def __call__(self, t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"h": _md5s(t["text"].to_pylist()), "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby("h", sort=False).agg(keeper=("doc_id", "min"), n=("doc_id", "size"))
+        return g.reset_index()
+
+
+def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(h, keeper, n): content-hash groups, min-doc_id keeper, dup count.
+    Hash-partition + per-group first — exact dedup at any scale."""
+    partial = docs.select_columns(["doc_id", "text"]).map_batches(
+        _DedupPartial(), batch_format="pyarrow"
+    )
+    return partial.groupby("h").aggregate(
+        ray.data.aggregate.Min("keeper", alias_name="keeper"),
+        ray.data.aggregate.Sum("n", alias_name="n"),
+    )
+
+
+def dedup_keep_first(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """The actual dedup: keep exactly one row (min doc_id) per distinct text."""
+    keepers = exact_dedup(docs)
+    keep_ids = {int(r["keeper"]) for r in keepers.select_columns(["keeper"]).take_all()}
+    # broadcast keeper set (ids are a small fraction at corpus scale after
+    # dedup of heavy dup distributions; for 1e12 rows use a bucketed
+    # semi-join via stages.hashjoin instead)
+    import ray as _ray
+
+    ref = _ray.put(np.array(sorted(keep_ids), dtype=np.int64))
+
+    class _Keep:
+        def __init__(self):
+            self._ids = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._ids is None:
+                self._ids = _ray.get(ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(self._ids, d), self._ids.size - 1)
+            return t.filter(pa.array(self._ids[pos] == d))
+
+    return docs.map_batches(_Keep(), batch_format="pyarrow")
+
+
+class _TokenStats:
+    def __init__(self):
+        self.ws = _WS
+        self.upper = _UPPER
+        self.stop = set(STOPWORDS)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = np.empty(len(texts), np.int64)
+        n_stop = np.empty(len(texts), np.int64)
+        n_up = np.empty(len(texts), np.int64)
+        n_chars = np.empty(len(texts), np.int64)
+        for i, tx in enumerate(texts):
+            toks = self.ws.findall(tx)
+            n_tok[i] = len(toks)
+            n_stop[i] = sum(1 for w in toks if w in self.stop)
+            n_up[i] = len(self.upper.findall(tx))
+            n_chars[i] = len(tx)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok),
+                "n_stopwords": pa.array(n_stop),
+                "n_upper": pa.array(n_up),
+                "n_chars_py": pa.array(n_chars),
+            }
+        )
+
+
+def token_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_stopwords, n_upper, n_chars_py)."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _TokenStats, batch_format="pyarrow", concurrency=(1, 8), batch_size=4096
+    )
+
+
+def quality_score(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens, chars_per_token, stopword_ratio, upper_ratio) —
+    deterministic heuristic quality features. Ratios are single IEEE
+    divisions of exact integers, so they hash bit-identical to the SQL
+    oracle WITHOUT rounding (rounding would introduce half-even vs
+    half-away mismatches at decimal midpoints)."""
+    stats = token_stats(docs)
+
+    def _score(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = t["n_stopwords"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nu = t["n_upper"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = t["n_chars_py"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cpt = np.where(nt > 0, nc / nt, 0.0)
+            sr = np.where(nt > 0, ns / nt, 0.0)
+            ur = np.where(nc > 0, nu / nc, 0.0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "chars_per_token": pa.array(cpt),
+                "stopword_ratio": pa.array(sr),
+                "upper_ratio": pa.array(ur),
+            }
+        )
+
+    return stats.map_batches(_score, batch_format="pyarrow")
+
+
+def lang_distribution(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, n): per-batch pre-count then tiny groupby combine."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        langs, counts = np.unique(
+            np.asarray(t["lang"].to_pylist(), dtype=object), return_counts=True
+        )
+        return pa.table(
+            {
+                "lang": pa.array(list(langs), pa.string()),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        docs.select_columns(["lang"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+    )
+
+
+# -- language-ID heuristic (n-gram based, engine-native extra) --------------
+
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of ", " is "),
+    "de": (" der ", " und ", " die ", " ist "),
+    "fr": (" le ", " la ", " et ", " est "),
+}
+
+
+class _LangId:
+    def __init__(self):
+        self.markers = {k: tuple(v) for k, v in _LANG_MARKERS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        out = []
+        for tx in texts:
+            s = f" {tx.lower()} "
+            best, bestc = "unk", 0
+            for lang, ms in self.markers.items():
+                c = sum(s.count(m) for m in ms)
+                if c > bestc:
+                    best, bestc = lang, c
+            out.append(best)
+        return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(out, pa.string())})
+
+
+def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, lang_pred): marker-n-gram language guess (stub-grade model,
+    real engine would load fastText-style weights once per actor)."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _LangId, batch_format="pyarrow", concurrency=(1, 8)
+    )
