@@ -166,29 +166,33 @@ def eigenvector_centrality(G, max_iter=100, tol=1e-6, nstart: dict | None = None
         .materialize()
     )
     stats = collect_stats(state)
-    # nx convention: messages flow u → nbr (x[nbr] += x[u]), i.e. along edges
-    for it in range(max_iter):
+    # nx convention: messages flow u → nbr (x[nbr] += x[u]), i.e. along edges.
+    # The delta stat of superstep t compares x_{t-1} with x_{t-2} (it is
+    # computed one step late), so on convergence we return the PREVIOUS
+    # iterate — exactly the x_T networkx returns.
+    prev_state, prev_norm = None, 1.0
+    for it in range(max_iter + 1):
         norm = np.sqrt(stats.get(STAT_SUMSQ, 1.0)) or 1.0
-        state, stats = run_iteration(
+        new_state, new_stats = run_iteration(
             state,
             _ScaledSpMV(G.csr_refs, P, G.weighted, divisor=norm),
             _EigCombine(n, P, norm),
         )
-        # delta compares x_{t-1} with x_{t-2}; check after ≥2 updates
-        if it >= 1 and stats.get(STAT_DELTA, np.inf) < n * tol:
+        if it >= 1 and new_stats.get(STAT_DELTA, np.inf) < n * tol:
+            prev_state, prev_norm = state, norm
             break
+        state, stats = new_state, new_stats
     else:
         raise ConvergenceFailure(f"eigenvector failed in {max_iter} iterations")
-    norm = np.sqrt(stats.get(STAT_SUMSQ, 1.0)) or 1.0
 
     def _strip(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         t = t.filter(pc.and_(pc.equal(t["kind"], 0), pc.greater_equal(t["v"], 0)))
-        x = t["f0"].to_numpy(zero_copy_only=False) / norm
+        x = t["f0"].to_numpy(zero_copy_only=False) / prev_norm
         return pa.table({"v": t["v"], "centrality": pa.array(x)})
 
-    return state.map_batches(_strip, batch_format="pyarrow")
+    return prev_state.map_batches(_strip, batch_format="pyarrow")
 
 
 class _KatzCombine:
