@@ -1,0 +1,159 @@
+"""Headline benchmark: corpus → link extraction → graph build → tier-1
+kernels (PageRank to 1e-6, connected components, LPA, triangles), plus the
+lineitem-graph query suite over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "pagerank_iters": k, "edges": m, "edges_per_sec": ..., "iters_per_sec": ...}
+
+--scaling: runs the same bench in two fresh processes (num_cpus=8 and 32)
+and reports throughput at both plus scaling efficiency (the sandbox proxy
+for the north rule's N vs 4N cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data
+    from graphblas_algorithms_ray.sources.corpus import corpus_parquet
+    from graphblas_algorithms_ray.sources.extract import graph_from_corpus
+    from graphblas_algorithms_ray.pipelines.pagerank import pagerank
+    from graphblas_algorithms_ray.pipelines.components import connected_components
+    from graphblas_algorithms_ray.pipelines.label_prop import label_propagation
+    from graphblas_algorithms_ray.pipelines.triangles import total_triangles
+
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
+    # fixed partition count across scaling levels (vary parallelism only)
+    num_parts = int(os.environ.get("GRAFT_BENCH_PARTS", "32"))
+
+    timings: dict[str, float] = {}
+    corpus_path = corpus_parquet(n_docs)  # cached; untimed (input generation)
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    ray.data.read_parquet(corpus_path).count()
+
+    t0 = time.time()
+    corpus = ray.data.read_parquet(corpus_path)
+    g, _ = graph_from_corpus(corpus, num_parts=num_parts)
+    timings["extract_and_build"] = time.time() - t0
+
+    t0 = time.time()
+    pr = pagerank(g, tol=1e-6, max_iter=200)
+    top = pr.to_pandas().nlargest(5, "pagerank")
+    pr_time = time.time() - t0
+    timings["pagerank"] = pr_time
+    from graphblas_algorithms_ray.pipelines import pagerank as pr_mod
+
+    iters = int(pr_mod.LAST_RUN_INFO.get("iterations", 0))
+
+    t0 = time.time()
+    cc = connected_components(g)
+    n_comp = cc.unique("component")
+    timings["connected_components"] = time.time() - t0
+
+    t0 = time.time()
+    label_propagation(g, max_iter=5).count()
+    timings["label_propagation5"] = time.time() - t0
+
+    t0 = time.time()
+    tri = total_triangles(g)
+    timings["triangles"] = time.time() - t0
+
+    # lineitem query-suite spot checks over the sf dir
+    from graphblas_algorithms_ray.api import QUERIES
+
+    for name in ("pagerank10", "connected_components", "triangles_per_node"):
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        timings[f"q_{name}"] = time.time() - t0
+
+    total = sum(timings.values())
+    m = g.m
+    out = {
+        "metric": "tier1_kernels_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "edges": m,
+        "pagerank_iters": iters,
+        "pagerank_sec": round(pr_time, 3),
+        "edges_per_sec_pagerank": round(m * max(iters, 1) / pr_time, 1),
+        "top_url_vid": int(top.iloc[0]["v"]),
+        "components": int(len(n_comp)),
+        "triangles": int(tri),
+    }
+    return out
+
+
+def main():
+    if "--scaling" in sys.argv:
+        import subprocess
+
+        def run(ncpu):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        lo, hi = run(8), run(32)
+        eff = (lo["value"] / hi["value"]) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency_8_to_32",
+                    "sec_8": lo["value"],
+                    "sec_32": hi["value"],
+                    "edges_per_sec_8": lo["edges_per_sec_pagerank"],
+                    "edges_per_sec_32": hi["edges_per_sec_pagerank"],
+                    "scaling_efficiency": round(eff, 3),
+                    "queries_8": lo["queries"],
+                    "queries_32": hi["queries"],
+                }
+            )
+        )
+        return
+
+    out = run_bench()
+    print(json.dumps(out))
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -83,9 +83,18 @@ def concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 # Unified iteration-state schema shared by all fixpoint kernels.
-#   kind 0 = vertex state row (v, f0 float slot, i0 int slot)
+#   kind 0 = vertex state row (v, f0 float slot, i0 int slot);
+#            v < 0 → per-part stats row (see STAT_* above; payload in f0)
 #   kind 1 = message/contribution row (v = destination, f0/i0 payload)
-#   v < 0  = per-part stats row (see STAT_* above; payload in f0)
+#   kind 2 = broadcast scalar partial (v = STAT_* id, f0 = partial value):
+#            emitted by a combine to EVERY part, consumed by the NEXT
+#            superstep's combine — this is how a chained pipeline all-reduces
+#            a global scalar (e.g. PageRank dangling mass) through the
+#            shuffle without a driver barrier
+#   kind 3 = per-superstep stats record (v = STAT_* id, i0 = superstep,
+#            f0 = per-part partial): passed through all later supersteps so
+#            the driver reads one stats set per superstep at chunk end
+K_STATE, K_MSG, K_SCALAR, K_DELTA = 0, 1, 2, 3
 STATE_SCHEMA = pa.schema(
     [
         ("part", pa.int32()),

@@ -116,6 +116,7 @@ def q_pagerank(sf_dir):
         alpha=ALPHA,
         max_iter=PR_ITERS,
         tol=0.0,  # fixed-iteration mode: never converges early
+        chain=PR_ITERS,  # all 10 supersteps in ONE Ray Data job
         raise_on_failure=False,
     )
     return pr.map_batches(
@@ -180,7 +181,10 @@ def q_reciprocity(sf_dir):
 def q_isolates(sf_dir):
     from .pipelines.structure import isolates
 
-    return isolates(lineitem_graph(sf_dir))
+    # materialize with an explicit schema: an all-empty Dataset loses its
+    # column names through to_pandas, breaking the schema comparison
+    rows = isolates(lineitem_graph(sf_dir)).take_all()
+    return pd.DataFrame({"v": pd.Series([r["v"] for r in rows], dtype="int64")})
 
 
 def q_s_metric(sf_dir):
@@ -345,24 +349,24 @@ QUERIES = {
 # ---------------------------------------------------------------------------
 
 _G = f"""verts AS (SELECT range::BIGINT AS v FROM range({M})),
-edges AS (SELECT DISTINCT (l_orderkey % {M})::BIGINT AS src, (l_partkey % {M})::BIGINT AS dst FROM lineitem),
-uedges AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS w FROM edges WHERE src <> dst),
-sym AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
-odeg AS (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src),
-udeg AS (SELECT verts.v, COALESCE(c.d, 0)::BIGINT AS d FROM verts LEFT JOIN (SELECT x AS v, COUNT(*) AS d FROM (SELECT u AS x FROM uedges UNION ALL SELECT w FROM uedges) GROUP BY x) c USING (v))"""
+edges AS MATERIALIZED (SELECT DISTINCT (l_orderkey % {M})::BIGINT AS src, (l_partkey % {M})::BIGINT AS dst FROM lineitem),
+uedges AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS w FROM edges WHERE src <> dst),
+sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+odeg AS MATERIALIZED (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src),
+udeg AS MATERIALIZED (SELECT verts.v, COALESCE(c.d, 0)::BIGINT AS d FROM verts LEFT JOIN (SELECT x AS v, COUNT(*) AS d FROM (SELECT u AS x FROM uedges UNION ALL SELECT w FROM uedges) GROUP BY x) c USING (v))"""
 
-_TRI = """tri AS (SELECT e1.u AS x, e1.w AS y, e2.w AS z
+_TRI = """tri AS MATERIALIZED (SELECT e1.u AS x, e1.w AS y, e2.w AS z
   FROM uedges e1 JOIN uedges e2 ON e2.u = e1.w
   JOIN uedges e3 ON e3.u = e1.u AND e3.w = e2.w)"""
 
 
 def _pagerank_sql() -> str:
-    parts = [f"WITH {_G},\nr0 AS (SELECT v, 1.0/{M} AS r FROM verts)"]
+    parts = [f"WITH {_G},\nr0 AS MATERIALIZED (SELECT v, 1.0/{M} AS r FROM verts)"]
     for i in range(PR_ITERS):
         parts.append(
             f""",
-dm{i} AS (SELECT COALESCE(SUM(r), 0) AS m FROM r{i} WHERE v NOT IN (SELECT v FROM odeg)),
-r{i + 1} AS (
+dm{i} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) AS m FROM r{i} WHERE v NOT IN (SELECT v FROM odeg)),
+r{i + 1} AS MATERIALIZED (
   SELECT verts.v,
          (1 - {ALPHA})/{M} + {ALPHA} * (SELECT m FROM dm{i})/{M} + COALESCE(c.s, 0) AS r
   FROM verts LEFT JOIN (
@@ -375,11 +379,11 @@ r{i + 1} AS (
 
 
 def _lpa_sql() -> str:
-    parts = [f"WITH {_G},\nl0 AS (SELECT v, v AS lab FROM verts)"]
+    parts = [f"WITH {_G},\nl0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)"]
     for i in range(LPA_ITERS):
         parts.append(
             f""",
-l{i + 1} AS (
+l{i + 1} AS MATERIALIZED (
   SELECT l.v, COALESCE(w.lab, l.lab) AS lab
   FROM l{i} l LEFT JOIN (
     SELECT v, lab FROM (

@@ -53,18 +53,26 @@ class _CCInit:
 
 
 class _CCSpMV:
-    def __init__(self, csr_refs, num_parts):
+    def __init__(self, csr_refs, num_parts, drop_stale_stats=False):
         self.cache = spmv.CsrCache(csr_refs)
         self.P = num_parts
+        self.drop_stale_stats = drop_stale_stats
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        passthru = (
+            None
+            if self.drop_stale_stats
+            else t.filter(pc.equal(t["kind"], 3))
+        )
         t = t.filter(pc.and_(pc.equal(t["kind"], 0), pc.greater_equal(t["v"], 0)))
         if t.num_rows == 0:
             return state_table(0, 0, np.empty(0, np.int64))
         b = spmv.batch_numpy(t)
         out = [t]
+        if passthru is not None and passthru.num_rows:
+            out.append(passthru)
         active = b["f0"] > 0
         for k, sel in spmv.iter_parts(b):
             csr = self.cache.get(k)
@@ -84,8 +92,8 @@ class _CCSpMV:
 
 
 class _CCCombine:
-    def __init__(self, n, num_parts):
-        self.n, self.P = n, num_parts
+    def __init__(self, n, num_parts, superstep=0):
+        self.n, self.P, self.superstep = n, num_parts, superstep
 
     def __call__(self, g: pa.Table) -> pa.Table:
         b = spmv.batch_numpy(g)
@@ -100,18 +108,29 @@ class _CCCombine:
         np.minimum.at(new, v[msg] // self.P, b["i0"][msg])
         changed = new < prev
         uni = universe(k, self.n, self.P)
-        return pa.concat_tables(
-            [
-                state_table(k, 0, uni, f0=changed.astype(np.float64), i0=new),
-                stats_rows(k, {STAT_CHANGED: float(changed.sum())}),
-            ]
-        )
+        out = [
+            state_table(k, 0, uni, f0=changed.astype(np.float64), i0=new),
+            pa.table(
+                {
+                    "part": pa.array([k], pa.int32()),
+                    "kind": pa.array([3], pa.int8()),
+                    "v": pa.array([STAT_CHANGED], pa.int64()),
+                    "f0": pa.array([float(changed.sum())], pa.float64()),
+                    "i0": pa.array([self.superstep], pa.int64()),
+                }
+            ),
+        ]
+        stale = kind == 3
+        if stale.any():
+            out.append(g.filter(pa.array(stale)))
+        return pa.concat_tables(out)
 
 
 def connected_components(
     G,
     *,
     max_iter: int | None = None,
+    chain: int = 4,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
@@ -119,7 +138,11 @@ def connected_components(
     """Per-vertex component labels (label = min vertex id in component).
 
     Directed input is symmetrized first (weakly connected components,
-    reference ``algorithms/components/weakly_connected.py:5-8``)."""
+    reference ``algorithms/components/weakly_connected.py:5-8``).
+    Supersteps run `chain` at a time in one Ray Data job — min-label
+    propagation is idempotent at fixpoint, so overshooting is exact."""
+    from ..stages.fixpoint import run_chain
+
     g = G.to_undirected() if G.directed else G
     g._ensure_built()
     n, P = g.n, g.num_parts
@@ -138,18 +161,31 @@ def connected_components(
             .map_batches(_CCInit(n, P), batch_format="pyarrow")
             .materialize()
         )
-        stats = collect_stats(state)
 
     it = start_it
-    while stats.get(STAT_CHANGED, 1.0) > 0:
+    done = False
+    while not done:
+        k = chain if max_iter is None else max(1, min(chain, max_iter - it))
+        state, chain_stats = run_chain(
+            state,
+            lambda i: _CCSpMV(g.csr_refs, P, drop_stale_stats=(i == 0)),
+            lambda i: _CCCombine(n, P, superstep=i),
+            k,
+        )
+        changed_last = None
+        for s in range(k):
+            changed_last = chain_stats.get(s, {}).get(STAT_CHANGED, 0.0)
+            if changed_last == 0.0:
+                done = True
+                break
+        it += k
+        periodic = checkpoint_every and (it - 1) % checkpoint_every < k
+        if checkpoint_dir and (periodic or done):
+            checkpoint_state(
+                state, checkpoint_dir, it - 1, {STAT_CHANGED: changed_last or 0.0}, {"algo": "cc", "converged": done}
+            )
         if max_iter is not None and it >= max_iter:
             break
-        state, stats = run_iteration(state, _CCSpMV(g.csr_refs, P), _CCCombine(n, P))
-        if checkpoint_dir and checkpoint_every and (it % checkpoint_every == 0):
-            checkpoint_state(state, checkpoint_dir, it, stats, {"algo": "cc"})
-        it += 1
-    if checkpoint_dir:
-        checkpoint_state(state, checkpoint_dir, it, stats, {"algo": "cc", "converged": True})
     return extract_vertex_values(state, "component", use_int=True)
 
 

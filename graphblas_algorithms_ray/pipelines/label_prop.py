@@ -46,18 +46,22 @@ class _LPASpMV:
     """Scatter (dst, src_label) counted per batch — the combiner for the
     mode aggregate."""
 
-    def __init__(self, csr_refs, num_parts):
+    def __init__(self, csr_refs, num_parts, drop_stale_stats=False):
         self.cache = spmv.CsrCache(csr_refs)
         self.P = num_parts
+        self.drop_stale_stats = drop_stale_stats
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        passthru = None if self.drop_stale_stats else t.filter(pc.equal(t["kind"], 3))
         t = t.filter(pc.and_(pc.equal(t["kind"], 0), pc.greater_equal(t["v"], 0)))
         if t.num_rows == 0:
             return state_table(0, 0, np.empty(0, np.int64))
         b = spmv.batch_numpy(t)
         out = [t]
+        if passthru is not None and passthru.num_rows:
+            out.append(passthru)
         for k, sel in spmv.iter_parts(b):
             csr = self.cache.get(k)
             v, lab = b["v"][sel], b["i0"][sel]
@@ -77,8 +81,8 @@ class _LPASpMV:
 
 
 class _LPACombine:
-    def __init__(self, n, num_parts):
-        self.n, self.P = n, num_parts
+    def __init__(self, n, num_parts, superstep=0):
+        self.n, self.P, self.superstep = n, num_parts, superstep
 
     def __call__(self, g: pa.Table) -> pa.Table:
         b = spmv.batch_numpy(g)
@@ -110,19 +114,32 @@ class _LPACombine:
 
         changed = new != prev
         uni = universe(k, self.n, self.P)
-        return pa.concat_tables(
-            [
-                state_table(k, 0, uni, i0=new),
-                stats_rows(k, {STAT_CHANGED: float(changed.sum())}),
-            ]
-        )
+        out = [
+            state_table(k, 0, uni, i0=new),
+            pa.table(
+                {
+                    "part": pa.array([k], pa.int32()),
+                    "kind": pa.array([3], pa.int8()),
+                    "v": pa.array([STAT_CHANGED], pa.int64()),
+                    "f0": pa.array([float(changed.sum())], pa.float64()),
+                    "i0": pa.array([self.superstep], pa.int64()),
+                }
+            ),
+        ]
+        stale = kind == 3
+        if stale.any():
+            out.append(g.filter(pa.array(stale)))
+        return pa.concat_tables(out)
 
 
-def label_propagation(G, max_iter: int = 30):
+def label_propagation(G, max_iter: int = 30, chain: int = 5):
     """Community labels after synchronous LPA; Dataset (v, label).
 
     Directed input is symmetrized (community detection is defined on the
-    undirected structure)."""
+    undirected structure). Supersteps run `chain` at a time in one Ray Data
+    job — the synchronous rule is stable at fixpoint, so overshoot is exact."""
+    from ..stages.fixpoint import run_chain
+
     g = G.to_undirected() if G.directed else G
     g._ensure_built()
     n, P = g.n, g.num_parts
@@ -131,9 +148,19 @@ def label_propagation(G, max_iter: int = 30):
         .map_batches(_LPAInit(n, P), batch_format="pyarrow")
         .materialize()
     )
-    for _ in range(max_iter):
-        state, stats = run_iteration(state, _LPASpMV(g.csr_refs, P), _LPACombine(n, P))
-        if stats.get(STAT_CHANGED, 0.0) == 0:
+    it = 0
+    while it < max_iter:
+        k = min(chain, max_iter - it)
+        state, chain_stats = run_chain(
+            state,
+            lambda i: _LPASpMV(g.csr_refs, P, drop_stale_stats=(i == 0)),
+            lambda i: _LPACombine(n, P, superstep=i),
+            k,
+        )
+        it += k
+        if any(
+            chain_stats.get(s, {}).get(STAT_CHANGED, 0.0) == 0.0 for s in range(k)
+        ):
             break
     return extract_vertex_values(state, "label", use_int=True)
 

@@ -15,9 +15,14 @@ Reference semantics (must match to allclose 1e-6):
     the iso-value ``plus_first`` fast path (no per-edge multiply,
     ``pagerank_alg.py:53-60``)
 
-Physical plan per iteration: see ``stages/fixpoint.py``. The dangling mass
-for iteration t is computed as a per-part stats row by iteration t-1's
-combine (no extra pass over the data) and fed back in as a scalar.
+Physical plan: see ``stages/fixpoint.py``. Supersteps are CHAINED ``chain``
+at a time into one Ray Data job; the global dangling-mass scalar crosses
+supersteps as kind-2 broadcast partials inside the shuffle (an all-reduce
+through the groupby — no driver barrier), and per-superstep L1 deltas ride
+along as kind-3 passthrough rows read once per chunk. ``chain=1``
+reproduces the reference's stop-at-first-converged-iterate exactly;
+``chain>1`` may overshoot convergence by up to chain-1 extra supersteps
+(still converged, used for fixed-iteration oracle runs and benchmarks).
 """
 
 from __future__ import annotations
@@ -25,12 +30,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray
+import ray.data
 
 from .._util import (
     STAT_DANGLING,
     STAT_DELTA,
     state_table,
-    stats_rows,
     universe,
     universe_size,
 )
@@ -38,20 +43,20 @@ from ..stages import spmv
 from ..stages.fixpoint import (
     ConvergenceFailure,
     checkpoint_state,
-    collect_stats,
     extract_vertex_values,
     latest_checkpoint,
-    run_iteration,
+    run_chain,
 )
+
+# filled after each pagerank() call: iterations run, final L1 delta
+LAST_RUN_INFO: dict = {}
 
 
 def _dict_to_dense_ref(d: dict | None, n: int, normalize: bool = True):
     """Small user dict → normalized dense vector in the object store.
 
     Broadcast once (ray.put), sliced per part with a zero-copy stride view
-    inside the stages — never re-shipped per batch. (User-supplied dicts are
-    small; a full-length nstart at 10^12 vertices would instead be passed as
-    a vertex-table Dataset — not needed by any current caller.)"""
+    inside the stages — never re-shipped per batch."""
     if d is None:
         return None
     arr = np.zeros(n, dtype=np.float64)
@@ -63,6 +68,32 @@ def _dict_to_dense_ref(d: dict | None, n: int, normalize: bool = True):
             raise ZeroDivisionError("zero-sum vector")
         arr = arr / s
     return ray.put(arr)
+
+
+def _scalar_broadcast_rows(num_parts: int, stat_id: int, value: float) -> pa.Table:
+    """kind-2 rows carrying a per-part scalar partial to EVERY part."""
+    parts = np.arange(num_parts, dtype=np.int32)
+    return pa.table(
+        {
+            "part": pa.array(parts, pa.int32()),
+            "kind": pa.array(np.full(num_parts, 2, np.int8), pa.int8()),
+            "v": pa.array(np.full(num_parts, stat_id, np.int64), pa.int64()),
+            "f0": pa.array(np.full(num_parts, value, np.float64), pa.float64()),
+            "i0": pa.array(np.zeros(num_parts, np.int64), pa.int64()),
+        }
+    )
+
+
+def _delta_row(part: int, stat_id: int, value: float, superstep: int) -> pa.Table:
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "kind": pa.array([3], pa.int8()),
+            "v": pa.array([stat_id], pa.int64()),
+            "f0": pa.array([value], pa.float64()),
+            "i0": pa.array([superstep], pa.int64()),
+        }
+    )
 
 
 class _PRInit:
@@ -85,29 +116,36 @@ class _PRInit:
             aux = ray.get(self.aux_refs[k])
             dm = float(x0[aux["out_wsum"] == 0].sum())
             out.append(state_table(k, 0, uni, f0=x0))
-            out.append(stats_rows(k, {STAT_DANGLING: dm}))
+            out.append(_scalar_broadcast_rows(self.P, STAT_DANGLING, dm))
         if not out:
             return state_table(0, 0, np.empty(0, np.int64))
         return pa.concat_tables(out)
 
 
 class _PRSpMV:
-    """Gather alpha*x/outdeg per source, scatter along CSR, pre-combine."""
+    """Gather alpha*x/outdeg per source, scatter along CSR, pre-combine.
+    Passes through state (kind 0), scalar partials (kind 2) and — unless at
+    a chunk boundary — stats records (kind 3)."""
 
-    def __init__(self, csr_refs, num_parts, alpha, weighted):
+    def __init__(self, csr_refs, num_parts, alpha, weighted, drop_stale_stats=False):
         self.cache = spmv.CsrCache(csr_refs)
         self.P = num_parts
         self.alpha = alpha
         self.weighted = weighted
+        self.drop_stale_stats = drop_stale_stats
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        keep = pc.or_(pc.equal(t["kind"], 2), pc.equal(t["kind"], 3))
+        if self.drop_stale_stats:
+            keep = pc.equal(t["kind"], 2)
+        passthru_aux = t.filter(keep)
         t = t.filter(pc.and_(pc.equal(t["kind"], 0), pc.greater_equal(t["v"], 0)))
+        out = [passthru_aux, t] if passthru_aux.num_rows else [t]
         if t.num_rows == 0:
-            return state_table(0, 0, np.empty(0, np.int64))
+            return pa.concat_tables(out) if out else state_table(0, 0, np.empty(0, np.int64))
         b = spmv.batch_numpy(t)
-        out = [t]  # passthrough: combine needs prev state + universe
         for k, sel in spmv.iter_parts(b):
             csr = self.cache.get(k)
             v, x = b["v"][sel], b["f0"][sel]
@@ -122,24 +160,28 @@ class _PRSpMV:
 
 
 class _PRCombine:
-    def __init__(self, aux_refs, n, num_parts, alpha, dm_prev, p_ref, dw_ref):
+    def __init__(self, aux_refs, n, num_parts, alpha, p_ref, dw_ref, superstep):
         self.aux_refs = aux_refs
         self.n, self.P, self.alpha = n, num_parts, alpha
-        self.dm_prev = dm_prev
         self.p_ref, self.dw_ref = p_ref, dw_ref
+        self.superstep = superstep
 
     def __call__(self, g: pa.Table) -> pa.Table:
         b = spmv.batch_numpy(g)
         k = int(b["part"][0])
         usize = universe_size(k, self.n, self.P)
-        kind = b["kind"]
-        v, f0 = b["v"], b["f0"]
+        kind, v, f0 = b["kind"], b["v"], b["f0"]
+
         st = (kind == 0) & (v >= 0)
         prev = np.zeros(usize, dtype=np.float64)
         prev[v[st] // self.P] = f0[st]
+
         acc = np.zeros(usize, dtype=np.float64)
         msg = kind == 1
         np.add.at(acc, v[msg] // self.P, f0[msg])
+
+        # all-reduced dangling mass of the PREVIOUS iterate (kind-2 partials)
+        dm_prev = float(f0[(kind == 2) & (v == STAT_DANGLING)].sum())
 
         p_k = (
             ray.get(self.p_ref)[k :: self.P]
@@ -147,18 +189,21 @@ class _PRCombine:
             else 1.0 / self.n
         )
         dw_k = ray.get(self.dw_ref)[k :: self.P] if self.dw_ref is not None else p_k
-        new = acc + self.alpha * self.dm_prev * dw_k + (1.0 - self.alpha) * p_k
+        new = acc + self.alpha * dm_prev * dw_k + (1.0 - self.alpha) * p_k
 
         aux = ray.get(self.aux_refs[k])
         dm_new = float(new[aux["out_wsum"] == 0].sum())
         delta = float(np.abs(new - prev).sum())
         uni = universe(k, self.n, self.P)
-        return pa.concat_tables(
-            [
-                state_table(k, 0, uni, f0=new),
-                stats_rows(k, {STAT_DELTA: delta, STAT_DANGLING: dm_new}),
-            ]
-        )
+        out = [
+            state_table(k, 0, uni, f0=new),
+            _scalar_broadcast_rows(self.P, STAT_DANGLING, dm_new),
+            _delta_row(k, STAT_DELTA, delta, self.superstep),
+        ]
+        stale = kind == 3
+        if stale.any():
+            out.append(g.filter(pa.array(stale)))
+        return pa.concat_tables(out)
 
 
 def pagerank(
@@ -170,6 +215,7 @@ def pagerank(
     nstart: dict | None = None,
     dangling: dict | None = None,
     *,
+    chain: int = 1,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
@@ -192,7 +238,6 @@ def pagerank(
         if ck is not None:
             start_it, state, stats = ck
             if stats.get(STAT_DELTA, np.inf) < n * tol:
-                # checkpoint is already the converged iterate
                 return extract_vertex_values(state, "pagerank")
             start_it += 1
     if state is None:
@@ -201,19 +246,35 @@ def pagerank(
             .map_batches(_PRInit(G.aux_refs, n, P, x0_ref), batch_format="pyarrow")
             .materialize()
         )
-        stats = collect_stats(state)
 
-    for it in range(start_it, max_iter):
-        spmv_stage = _PRSpMV(G.csr_refs, P, alpha, G.weighted)
-        combine = _PRCombine(
-            G.aux_refs, n, P, alpha, stats.get(STAT_DANGLING, 0.0), p_ref, dw_ref
+    it = start_it
+    while it < max_iter:
+        k = min(chain, max_iter - it)
+        state, chain_stats = run_chain(
+            state,
+            lambda i: _PRSpMV(G.csr_refs, P, alpha, G.weighted, drop_stale_stats=(i == 0)),
+            lambda i: _PRCombine(G.aux_refs, n, P, alpha, p_ref, dw_ref, i),
+            k,
         )
-        state, stats = run_iteration(state, spmv_stage, combine)
-        if checkpoint_dir and checkpoint_every and (it % checkpoint_every == 0):
-            checkpoint_state(state, checkpoint_dir, it, stats, {"algo": "pagerank"})
-        if stats.get(STAT_DELTA, np.inf) < n * tol:
-            if checkpoint_dir:
-                checkpoint_state(state, checkpoint_dir, it, stats, {"algo": "pagerank", "converged": True})
+        converged = False
+        last_delta = np.inf
+        for s in range(k):
+            last_delta = chain_stats.get(s, {}).get(STAT_DELTA, np.inf)
+            LAST_RUN_INFO.update(iterations=it + s + 1, delta=last_delta)
+            if last_delta < n * tol:
+                converged = True
+                break
+        it += k
+        periodic = checkpoint_every and (it - 1) % checkpoint_every < k
+        if checkpoint_dir and (periodic or converged):
+            checkpoint_state(
+                state,
+                checkpoint_dir,
+                it - 1,
+                {STAT_DELTA: last_delta},
+                {"algo": "pagerank", "converged": converged},
+            )
+        if converged:
             return extract_vertex_values(state, "pagerank")
     if raise_on_failure:
         raise ConvergenceFailure(f"pagerank failed to converge in {max_iter} iterations")

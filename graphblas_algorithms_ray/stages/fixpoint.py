@@ -80,6 +80,41 @@ def run_iteration(
     return new_state, collect_stats(new_state)
 
 
+def _chain_stats_filter(t: pa.Table) -> pa.Table:
+    return t.filter(pc.equal(t["kind"], 3))
+
+
+def collect_chain_stats(state: ray.data.Dataset) -> dict[int, dict[int, float]]:
+    """kind-3 rows → {superstep: {stat_id: global sum}}."""
+    rows = state.map_batches(_chain_stats_filter, batch_format="pyarrow").take_all()
+    out: dict[int, dict[int, float]] = {}
+    for r in rows:
+        step = int(r["i0"])
+        out.setdefault(step, {})
+        sid = int(r["v"])
+        out[step][sid] = out[step].get(sid, 0.0) + float(r["f0"])
+    return out
+
+
+def run_chain(state: ray.data.Dataset, make_spmv, make_combine, k: int):
+    """k chained supersteps in ONE Ray Data job (one materialize, one stats
+    read). make_spmv(i)/make_combine(i) build the stage for superstep i;
+    the first SpMV must drop stale kind-3 rows from the previous chunk.
+
+    Global scalars cross supersteps as kind-2 broadcast partials inside the
+    shuffle (no driver barrier); per-superstep stats accumulate as kind-3
+    passthrough rows read once at chunk end."""
+    ds = state
+    for i in range(k):
+        ds = (
+            ds.map_batches(make_spmv(i), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(named(make_combine(i)), batch_format="pyarrow")
+        )
+    new_state = ds.materialize()
+    return new_state, collect_chain_stats(new_state)
+
+
 def checkpoint_state(state: ray.data.Dataset, ckpt_dir: str, it: int, stats: dict, extra: dict | None = None):
     import shutil
 
@@ -124,9 +159,11 @@ def latest_checkpoint(ckpt_dir: str):
     with open(os.path.join(ckpt_dir, f"manifest_{it:05d}.json")) as f:
         manifest = json.load(f)
     state = ray.data.read_parquet(os.path.join(ckpt_dir, f"iter_{it:05d}"))
-    # normalize column order/types to STATE_SCHEMA
+    # normalize column order/types to STATE_SCHEMA; drop stale kind-3 stats
     state = state.map_batches(
-        lambda t: t.select(STATE_SCHEMA.names).cast(STATE_SCHEMA),
+        lambda t: t.select(STATE_SCHEMA.names)
+        .cast(STATE_SCHEMA)
+        .filter(pc.not_equal(t["kind"], 3)),
         batch_format="pyarrow",
     ).materialize()
     stats = {int(k): float(v) for k, v in manifest["stats"].items()}
