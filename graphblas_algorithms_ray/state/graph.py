@@ -239,7 +239,7 @@ class Graph:
         workdir: str | None = None,
     ):
         self._edges_input = edges
-        self._given_n = n
+        self.n = int(n) if n is not None else None  # resolved at build if None
         self.directed = directed
         self.weighted = weighted
         self.num_parts = num_parts or DEFAULT_NUM_PARTS
@@ -281,7 +281,7 @@ class Graph:
         if self._built:
             return
         ds = _as_dataset(self._edges_input, self.weighted)
-        if self._given_n is None:
+        if self.n is None:
             agg = ds.aggregate(
                 ray.data.aggregate.Max("src", alias_name="ms"),
                 ray.data.aggregate.Max("dst", alias_name="md"),
@@ -290,8 +290,6 @@ class Graph:
             if ms is None:
                 raise ValueError("empty graph with no n given (PointlessConcept)")
             self.n = int(max(ms, md)) + 1
-        else:
-            self.n = int(self._given_n)
         if not self.directed:
             ds = ds.union(ds.map_batches(_swap_batch, batch_format="pyarrow"))
 

@@ -1,0 +1,84 @@
+"""Multimodal stage plumbing (stub codecs, real schemas/actors) + ANN."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from graphblas_algorithms_ray.pipelines.multimodal import (
+    DecodeImage,
+    FrameSample,
+    image_pipeline,
+    synthetic_media_dataset,
+)
+from graphblas_algorithms_ray.pipelines.ann import ann_topk, lsh_buckets
+
+
+def test_image_pipeline_end_to_end():
+    media = synthetic_media_dataset(40)
+    feats = image_pipeline(media).take_all()
+    assert len(feats) == 40
+    emb = np.array(feats[0]["embedding"])
+    assert emb.shape == (16,)
+    assert abs(emb.sum() - 1.0) < 1e-9  # histogram normalized
+    # deterministic: same media_id → same embedding across runs
+    feats2 = image_pipeline(synthetic_media_dataset(40)).take_all()
+    a = {f["media_id"]: tuple(f["embedding"]) for f in feats}
+    b = {f["media_id"]: tuple(f["embedding"]) for f in feats2}
+    assert a == b
+
+
+def test_decode_strict_raises():
+    media = synthetic_media_dataset(4)
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Ray
+        media.map_batches(
+            DecodeImage,
+            fn_constructor_kwargs={"strict": True},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).take_all()
+
+
+def test_frame_sample():
+    media = synthetic_media_dataset(5)
+    frames = media.map_batches(
+        FrameSample, batch_format="pyarrow", concurrency=1
+    ).take_all()
+    assert len(frames) == 20  # 5 media × 4 frames
+    assert {f["frame"] for f in frames} == {0, 1, 2, 3}
+
+
+def test_ann_topk_exact():
+    rng = np.random.RandomState(0)
+    vecs = rng.normal(size=(100, 16))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(100)]
+    )
+    out = ann_topk(ds, query_ids=[3], k=5, round_to=None).take_all()
+    got = [(r["nid"]) for r in sorted(out, key=lambda r: -r["score"])]
+    # brute-force oracle
+    q = vecs[3] / np.linalg.norm(vecs[3])
+    sims = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ q
+    sims[3] = -np.inf
+    exp = list(np.argsort(-sims)[:5])
+    assert got == exp
+
+
+def test_lsh_buckets_deterministic():
+    rng = np.random.RandomState(1)
+    vecs = rng.normal(size=(50, 64))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    )
+    b1 = {r["vec_id"]: r["bucket"] for r in lsh_buckets(ds, bits=8).take_all()}
+    b2 = {r["vec_id"]: r["bucket"] for r in lsh_buckets(ds, bits=8).take_all()}
+    assert b1 == b2
+    assert 0 <= min(b1.values()) and max(b1.values()) < 256
+    # near-identical vectors share a bucket
+    ds2 = ray.data.from_items(
+        [
+            {"vec_id": 0, "embedding": vecs[0].tolist()},
+            {"vec_id": 1, "embedding": (vecs[0] + 1e-8).tolist()},
+        ]
+    )
+    bb = {r["vec_id"]: r["bucket"] for r in lsh_buckets(ds2, bits=8).take_all()}
+    assert bb[0] == bb[1]
