@@ -1,0 +1,146 @@
+"""Boundary & cut measures (reference ``algorithms/boundary.py`` /
+``cuts.py``) — vectorized edge-table predicates + degree-table aggregates.
+
+Vertex sets S/T are passed as python sets (small, broadcast in the stage
+closure) or vectorized predicates; every measure is one pass over the edge
+table with a per-batch combiner.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def _as_pred(S):
+    if callable(S):
+        return S
+    arr = np.array(sorted(S), dtype=np.int64)
+
+    def pred(v: np.ndarray) -> np.ndarray:
+        pos = np.minimum(np.searchsorted(arr, v), max(arr.size - 1, 0))
+        if arr.size == 0:
+            return np.zeros(v.shape, dtype=bool)
+        return arr[pos] == v
+
+    return pred
+
+
+def edge_boundary(G, S, T=None) -> ray.data.Dataset:
+    """Edges from S to T (default: complement of S) — ``boundary.py:7-20``."""
+    G._ensure_built()
+    ps = _as_pred(S)
+    pt = _as_pred(T) if T is not None else None
+
+    def _f(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        keep = ps(s)
+        keep &= pt(d) if pt is not None else ~ps(d)
+        return t.filter(pa.array(keep))
+
+    return G.edges_ds().map_batches(_f, batch_format="pyarrow")
+
+
+def node_boundary(G, S) -> set:
+    """Neighbors of S outside S (``boundary.py:23-29``)."""
+    ps = _as_pred(S)
+    eb = edge_boundary(G, ps)
+    out = set()
+    for r in eb.select_columns(["dst"]).take_all():
+        out.add(int(r["dst"]))
+    return out
+
+
+def cut_size(G, S, T=None, weighted: bool = False) -> float:
+    """``cuts.py:18-30``: boundary edge count/weight; directed graphs add
+    the reverse direction."""
+    G._ensure_built()
+
+    def _sum(ds):
+        if weighted and G.weighted:
+            return float(ds.sum("weight") or 0.0)
+        return float(ds.count())
+
+    total = _sum(edge_boundary(G, S, T))
+    if G.directed:
+        ps = _as_pred(S)
+        pt = _as_pred(T) if T is not None else (lambda v: ~ps(v))
+        total += _sum(edge_boundary(G, pt, ps))
+    if not G.directed:
+        pass  # symmetrized table already holds both orientations? no:
+        # undirected Graph stores both (u,v),(v,u); boundary S→T counts each
+        # undirected boundary edge exactly once (src∈S, dst∈T).
+    return total
+
+
+def volume(G, S, weighted: bool = False) -> float:
+    """Σ out-degree over S (``cuts.py:33-38``)."""
+    G._ensure_built()
+    ps = _as_pred(S)
+    deg = G.degrees_ds("out")
+
+    def _f(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False)
+        d = t["degree"].to_numpy(zero_copy_only=False)
+        return pa.table({"x": pa.array([int(d[ps(v)].sum())], pa.int64())})
+
+    return float(deg.map_batches(_f, batch_format="pyarrow").sum("x") or 0)
+
+
+def normalized_cut_size(G, S, T=None) -> float:
+    """``cuts.py:41-47``: cut·(1/vol(S) + 1/vol(T))."""
+    ps = _as_pred(S)
+    pt = _as_pred(T) if T is not None else (lambda v: ~ps(v))
+    c = cut_size(G, ps, pt)
+    return c * (1.0 / volume(G, ps) + 1.0 / volume(G, pt))
+
+
+def conductance(G, S, T=None) -> float:
+    """``cuts.py:50-54``: cut / min(vol(S), vol(T))."""
+    ps = _as_pred(S)
+    pt = _as_pred(T) if T is not None else (lambda v: ~ps(v))
+    return cut_size(G, ps, pt) / min(volume(G, ps), volume(G, pt))
+
+
+def edge_expansion(G, S, T=None) -> float:
+    """``cuts.py:57-61``: cut / min(|S|, |T|)."""
+    G._ensure_built()
+    ps = _as_pred(S)
+    pt = _as_pred(T) if T is not None else (lambda v: ~ps(v))
+    ns = int(ps(np.arange(G.n)).sum())
+    nt = int(pt(np.arange(G.n)).sum())
+    return cut_size(G, ps, pt) / min(ns, nt)
+
+
+def mixing_expansion(G, S, T=None) -> float:
+    """``cuts.py:64-68``: cut / (2·m)."""
+    G._ensure_built()
+    return cut_size(G, S, T) / (2.0 * num_edges(G))
+
+
+def node_expansion(G, S) -> float:
+    """``cuts.py:71-73``: |N(S) ∪ S| / |S| (closed neighborhood)."""
+    G._ensure_built()
+    ps = _as_pred(S)
+    base = set(int(v) for v in np.arange(G.n)[ps(np.arange(G.n))])
+    nb = node_boundary(G, ps)
+    return len(nb | base) / len(base)
+
+
+def boundary_expansion(G, S) -> float:
+    """``cuts.py:76``: |∂S| / |S|."""
+    G._ensure_built()
+    ps = _as_pred(S)
+    base = int(ps(np.arange(G.n)).sum())
+    return len(node_boundary(G, ps)) / base
+
+
+def num_edges(G) -> int:
+    """Undirected edge count convention of the reference (m for Graph counts
+    each undirected edge once)."""
+    G._ensure_built()
+    if G.directed:
+        return G.m
+    return (G.m + G.self_edges) // 2
