@@ -131,6 +131,7 @@ def connected_components(
     *,
     max_iter: int | None = None,
     chain: int = 4,
+    executor: str = "dataset",
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
@@ -161,6 +162,29 @@ def connected_components(
             .map_batches(_CCInit(n, P), batch_format="pyarrow")
             .materialize()
         )
+
+    if executor == "actors":
+        from ..stages.bsp_actors import BSPPool
+
+        pool = BSPPool(P, state)
+        try:
+            it = start_it
+            while True:
+                stats = pool.superstep(
+                    _CCSpMV(g.csr_refs, P, drop_stale_stats=True),
+                    _CCCombine(n, P, superstep=0),
+                )
+                it += 1
+                if stats.get(0, {}).get(STAT_CHANGED, 0.0) == 0.0:
+                    break
+                if max_iter is not None and it >= max_iter:
+                    break
+            final = pool.gather_state().materialize()
+            if checkpoint_dir:
+                checkpoint_state(final, checkpoint_dir, it, {STAT_CHANGED: 0.0}, {"algo": "cc", "converged": True})
+            return extract_vertex_values(final, "component", use_int=True)
+        finally:
+            pool.shutdown()
 
     it = start_it
     done = False

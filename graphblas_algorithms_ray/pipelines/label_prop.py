@@ -132,7 +132,7 @@ class _LPACombine:
         return pa.concat_tables(out)
 
 
-def label_propagation(G, max_iter: int = 30, chain: int = 5):
+def label_propagation(G, max_iter: int = 30, chain: int = 5, executor: str = "dataset"):
     """Community labels after synchronous LPA; Dataset (v, label).
 
     Directed input is symmetrized (community detection is defined on the
@@ -148,6 +148,23 @@ def label_propagation(G, max_iter: int = 30, chain: int = 5):
         .map_batches(_LPAInit(n, P), batch_format="pyarrow")
         .materialize()
     )
+    if executor == "actors":
+        from ..stages.bsp_actors import BSPPool
+
+        pool = BSPPool(P, state)
+        try:
+            for _ in range(max_iter):
+                stats = pool.superstep(
+                    _LPASpMV(g.csr_refs, P, drop_stale_stats=True),
+                    _LPACombine(n, P, superstep=0),
+                )
+                if stats.get(0, {}).get(STAT_CHANGED, 0.0) == 0.0:
+                    break
+            final = pool.gather_state().materialize()
+            return extract_vertex_values(final, "label", use_int=True)
+        finally:
+            pool.shutdown()
+
     it = 0
     while it < max_iter:
         k = min(chain, max_iter - it)
@@ -165,8 +182,8 @@ def label_propagation(G, max_iter: int = 30, chain: int = 5):
     return extract_vertex_values(state, "label", use_int=True)
 
 
-def label_propagation_dict(G, max_iter: int = 30) -> dict:
-    df = label_propagation(G, max_iter=max_iter).to_pandas()
+def label_propagation_dict(G, max_iter: int = 30, **kw) -> dict:
+    df = label_propagation(G, max_iter=max_iter, **kw).to_pandas()
     return dict(zip(df["v"].astype(int), df["label"].astype(int)))
 
 

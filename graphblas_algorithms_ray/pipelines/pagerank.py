@@ -216,6 +216,7 @@ def pagerank(
     dangling: dict | None = None,
     *,
     chain: int = 1,
+    executor: str = "dataset",
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     resume: bool = False,
@@ -246,6 +247,44 @@ def pagerank(
             .map_batches(_PRInit(G.aux_refs, n, P, x0_ref), batch_format="pyarrow")
             .materialize()
         )
+
+    if executor == "actors":
+        # low-latency BSP exchange (stages/bsp_actors.py) running the SAME
+        # stage callables; used by the bench/scaling path
+        from ..stages.bsp_actors import BSPPool
+
+        pool = BSPPool(P, state)
+        try:
+            it = start_it
+            while it < max_iter:
+                stats = pool.superstep(
+                    _PRSpMV(G.csr_refs, P, alpha, G.weighted, drop_stale_stats=True),
+                    _PRCombine(G.aux_refs, n, P, alpha, p_ref, dw_ref, 0),
+                )
+                delta = stats.get(0, {}).get(STAT_DELTA, np.inf)
+                it += 1
+                LAST_RUN_INFO.update(iterations=it, delta=delta)
+                converged = delta < n * tol
+                periodic = checkpoint_every and (it - 1) % checkpoint_every == 0
+                if checkpoint_dir and (periodic or converged):
+                    checkpoint_state(
+                        pool.gather_state().materialize(),
+                        checkpoint_dir,
+                        it - 1,
+                        {STAT_DELTA: delta},
+                        {"algo": "pagerank", "converged": converged},
+                    )
+                if converged:
+                    final = pool.gather_state().materialize()
+                    return extract_vertex_values(final, "pagerank")
+            if raise_on_failure:
+                raise ConvergenceFailure(
+                    f"pagerank failed to converge in {max_iter} iterations"
+                )
+            final = pool.gather_state().materialize()
+            return extract_vertex_values(final, "pagerank")
+        finally:
+            pool.shutdown()
 
     it = start_it
     while it < max_iter:

@@ -60,7 +60,7 @@ class ExtractLinks:
         return pd.DataFrame({"src_url": src, "dst_url": dst})
 
 
-def extract_links(corpus: ray.data.Dataset, concurrency=(1, 8)) -> ray.data.Dataset:
+def extract_links(corpus: ray.data.Dataset, concurrency=(1, 32)) -> ray.data.Dataset:
     # callable class → actor pool (regex compiled once per actor); autoscales
     # within `concurrency` so the read stage isn't starved
     return corpus.select_columns(["url", "html"]).map_batches(
