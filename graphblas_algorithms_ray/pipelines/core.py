@@ -95,9 +95,10 @@ class _SumEdgeSupport:
 
 
 def edge_support(G) -> ray.data.Dataset:
-    """(u, w, support): per canonical undirected edge, the number of
-    triangles it participates in."""
-    g, fg = _forward_graph(G)
+    """(u, w, support): per canonical undirected edge (u < v, ORIGINAL ids),
+    the number of triangles it participates in. Internally runs in the
+    degree-rank space of pipelines/triangles (hub-safe orientation)."""
+    g, fg, rank_ref, perm_ref = _forward_graph(G)
     P = fg.num_parts
     wedges = ray.data.range(P, override_num_blocks=P).map_batches(
         _WedgeGen(fg.csr_refs, P), batch_format="pyarrow"
@@ -108,7 +109,25 @@ def edge_support(G) -> ray.data.Dataset:
         .groupby("part")
         .map_groups(named(_SumEdgeSupport()), batch_format="pyarrow")
     )
-    return counted
+
+    class _Back:
+        def __init__(self):
+            self._perm = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._perm is None:
+                self._perm = ray.get(perm_ref)
+            u = self._perm[t["u"].to_numpy(zero_copy_only=False)]
+            w = self._perm[t["w"].to_numpy(zero_copy_only=False)]
+            return pa.table(
+                {
+                    "u": pa.array(np.minimum(u, w)),
+                    "w": pa.array(np.maximum(u, w)),
+                    "support": t["support"],
+                }
+            )
+
+    return counted.map_batches(_Back(), batch_format="pyarrow")
 
 
 def k_truss(G, k: int) -> Graph:
@@ -166,10 +185,13 @@ def generalized_degree(G) -> ray.data.Dataset:
             t["u"].to_pylist(), t["w"].to_pylist(), t["support"].to_pylist()
         ):
             smap[(u, w)] = s
-    from .triangles import _forward_graph as _fg
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        m = s < d
+        return pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])})
 
-    _, fg = _fg(g)
-    rows = fg.edges_ds().take_all()
+    rows = g.edges_ds().map_batches(_canon, batch_format="pyarrow").take_all()
     from collections import Counter
 
     per_node: Counter = Counter()

@@ -134,9 +134,8 @@ def is_regular(G) -> bool:
 def s_metric(G) -> float:
     """Σ deg(u)·deg(v) over undirected edges (``algorithms/smetric.py:6-14``);
     degrees exclude self-loops, edges are the strict upper triangle."""
-    from .triangles import _forward_graph
-
-    g, fg = _forward_graph(G)
+    g = G.to_undirected() if G.directed else G
+    g._ensure_built()
     aux = g.aux_refs
     P = g.num_parts
 
@@ -151,8 +150,10 @@ def s_metric(G) -> float:
             return self._deg[k]
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            u = t["src"].to_numpy(zero_copy_only=False)
-            w = t["dst"].to_numpy(zero_copy_only=False)
+            u0 = t["src"].to_numpy(zero_copy_only=False)
+            w0 = t["dst"].to_numpy(zero_copy_only=False)
+            keep = u0 < w0  # strict upper triangle, one orientation
+            u, w = u0[keep], w0[keep]
             du = np.empty(u.size, dtype=np.float64)
             dw = np.empty(w.size, dtype=np.float64)
             for k in np.unique(u % P):
@@ -163,7 +164,7 @@ def s_metric(G) -> float:
                 dw[sel] = self.deg(int(k))[w[sel] // P]
             return pa.table({"x": pa.array([float((du * dw).sum())])})
 
-    out = fg.edges_ds().map_batches(_Mul(), batch_format="pyarrow").sum("x")
+    out = g.edges_ds().map_batches(_Mul(), batch_format="pyarrow").sum("x")
     return float(out or 0.0)
 
 

@@ -39,31 +39,65 @@ from ..stages import spmv
 _CHUNK_PAIRS = 2_000_000
 
 
+def _degree_rank(g):
+    """rank[v] = position of v in the (degree, id) total order, and the
+    inverse permutation perm[rank] = v.
+
+    Degree-ordered orientation bounds every vertex's FORWARD degree by
+    O(sqrt(m)) (arboricity bound) — without it a min-id hub with k
+    in-links generates C(k,2) wedges (the quadratic blow-up the reference
+    avoids with its L-mask + heuristics). Driver-side argsort here is fine
+    to ~1e8 vertices; beyond that reuse the distributed sample-splitter
+    dense-rank from sources/extract.build_vertex_dictionary on the degree
+    table (same algorithm, integer keys)."""
+    degs = np.zeros(g.n, dtype=np.int64)
+    for k in range(g.num_parts):
+        aux = ray.get(g.aux_refs[k])
+        d = aux["out_cnt"] - aux["out_self"]
+        degs[k :: g.num_parts] = d
+    perm = np.lexsort((np.arange(g.n), degs))  # rank -> original id
+    rank = np.empty(g.n, dtype=np.int64)
+    rank[perm] = np.arange(g.n)  # original id -> rank
+    return rank, perm
+
+
 def _forward_graph(G):
-    """Strict-upper-triangle (u < v) simple graph from any input graph."""
+    """Degree-ordered forward orientation: edges (rank(u) → rank(v)) with
+    rank(u) < rank(v), in RANK space (dense 0..n-1). Returns
+    (undirected graph, forward Graph, rank_ref, perm_ref)."""
     from ..state.graph import Graph
 
     g = G.to_undirected() if G.directed else G
     g._ensure_built()
 
-    def _canon(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy(zero_copy_only=False)
-        d = t["dst"].to_numpy(zero_copy_only=False)
-        m = s < d  # drops self loops and keeps one orientation
-        return pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])})
-
     key = "triangle_forward"
     if key not in g._cache:
+        rank, perm = _degree_rank(g)
+        rank_ref, perm_ref = ray.put(rank), ray.put(perm)
+
+        class _Canon:
+            def __init__(self):
+                self._rank = None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._rank is None:
+                    self._rank = ray.get(rank_ref)
+                s = self._rank[t["src"].to_numpy(zero_copy_only=False)]
+                d = self._rank[t["dst"].to_numpy(zero_copy_only=False)]
+                m = s < d  # drops self loops, keeps the low-rank→high-rank arc
+                return pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])})
+
         fg = Graph(
-            g.edges_ds().map_batches(_canon, batch_format="pyarrow"),
+            g.edges_ds().map_batches(_Canon(), batch_format="pyarrow"),
             n=g.n,
             directed=True,
             num_parts=g.num_parts,
             name=g.name + "_fwd",
         )
         fg._ensure_built()
-        g._cache[key] = fg
-    return g, g._cache[key]
+        g._cache[key] = (fg, rank_ref, perm_ref)
+    fg, rank_ref, perm_ref = g._cache[key]
+    return g, fg, rank_ref, perm_ref
 
 
 class _WedgeGen:
@@ -202,8 +236,9 @@ class _FillMissingParts:
 
 
 def _corner_counts(G) -> tuple:
-    """(graph, corner-count Dataset (part, v, c) pre-aggregated per probe)."""
-    g, fg = _forward_graph(G)
+    """(graph, fwd graph, rank/perm refs, corner-count Dataset in RANK
+    space, pre-aggregated per probe)."""
+    g, fg, rank_ref, perm_ref = _forward_graph(G)
     P = fg.num_parts
     wedges = ray.data.range(P, override_num_blocks=P).map_batches(
         _WedgeGen(fg.csr_refs, P), batch_format="pyarrow"
@@ -212,14 +247,14 @@ def _corner_counts(G) -> tuple:
         wedges.groupby("part")
         .map_groups(named(_ProbeAndCount(fg.csr_refs, fg.n, P)), batch_format="pyarrow")
     )
-    return g, fg, counts
+    return g, fg, rank_ref, perm_ref, counts
 
 
 def triangles(G) -> ray.data.Dataset:
     """Per-node triangle counts over the full universe (0 for others).
 
     Reference ``algorithms/cluster.py:44-64`` (unweighted path)."""
-    g, fg, counts = _corner_counts(G)
+    g, fg, rank_ref, perm_ref, counts = _corner_counts(G)
     P = fg.num_parts
     per_part = (
         counts.groupby("part")
@@ -239,7 +274,23 @@ def triangles(G) -> ray.data.Dataset:
             _FillMissingParts(fg.n, P, "triangles"), batch_format="pyarrow"
         )
         per_part = per_part.union(fill)
-    return per_part
+
+    # map rank-space vertex ids back to original ids
+    class _Back:
+        def __init__(self):
+            self._perm = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._perm is None:
+                self._perm = ray.get(perm_ref)
+            return pa.table(
+                {
+                    "v": pa.array(self._perm[t["v"].to_numpy(zero_copy_only=False)]),
+                    "triangles": t["triangles"],
+                }
+            )
+
+    return per_part.map_batches(_Back(), batch_format="pyarrow")
 
 
 def triangles_dict(G) -> dict:
@@ -249,7 +300,7 @@ def triangles_dict(G) -> dict:
 
 def total_triangles(G) -> int:
     """Global triangle count (``cluster.py:67-71`` SandiaDot equivalent)."""
-    _, _, counts = _corner_counts(G)
+    _, _, _, _, counts = _corner_counts(G)
     s = counts.sum("c")
     return int((s or 0) // 3)
 
