@@ -267,6 +267,105 @@ def q_centroids(sf_dir):
     return embedding_centroids(emb)
 
 
+def q_bfs_levels(sf_dir):
+    from .pipelines.traversal import bfs_levels
+
+    return bfs_levels(lineitem_graph(sf_dir), 0)
+
+
+def q_bellman_ford(sf_dir):
+    import ray.data
+    from .state.graph import Graph
+    from .pipelines.shortest_paths import bellman_ford_path_length
+
+    def _mod(t: pa.Table) -> pa.Table:
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "src": pa.array((o % M).astype(np.int64)),
+                "dst": pa.array((p % M).astype(np.int64)),
+                "weight": pa.array(q),
+            }
+        )
+
+    key = (sf_dir, "weighted")
+    if key not in _graph_cache:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_quantity"],
+        ).map_batches(_mod, batch_format="pyarrow")
+        g = Graph(ds, n=M, directed=True, weighted=True, dup="min", num_parts=8)
+        g._ensure_built()
+        _graph_cache[key] = g
+    return bellman_ford_path_length(_graph_cache[key], 0)
+
+
+def q_edge_support(sf_dir):
+    from .pipelines.core import edge_support
+
+    return edge_support(lineitem_graph(sf_dir, directed=False))
+
+
+def q_k_truss(sf_dir):
+    from .pipelines.core import k_truss
+
+    g = k_truss(lineitem_graph(sf_dir, directed=False), 4)
+    return g.edges_ds()
+
+
+def q_hits(sf_dir):
+    from .pipelines.link_analysis import hits
+
+    h, a = hits(lineitem_graph(sf_dir), max_iter=200)
+    hp = h.to_pandas().sort_values("v").reset_index(drop=True)
+    ap = a.to_pandas().sort_values("v").reset_index(drop=True)
+    hp["authority"] = ap["authority"]
+    hp["hub"] = np.round(hp["hub"], 8)
+    hp["authority"] = np.round(hp["authority"], 8)
+    return hp
+
+
+def q_eigenvector(sf_dir):
+    from .pipelines.link_analysis import eigenvector_centrality
+
+    return eigenvector_centrality(
+        lineitem_graph(sf_dir, directed=False), max_iter=500
+    )
+
+
+def q_katz(sf_dir):
+    from .pipelines.link_analysis import katz_centrality
+
+    return katz_centrality(lineitem_graph(sf_dir), alpha=0.005)
+
+
+def q_minhash_groups(sf_dir):
+    from .pipelines.dedup import minhash_near_duplicates
+
+    _, groups = minhash_near_duplicates(_docs(sf_dir), threshold=0.7)
+    return groups
+
+
+def q_simhash(sf_dir):
+    from .pipelines.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_docs(sf_dir))
+
+
+def q_language_id(sf_dir):
+    from .pipelines.text import language_id
+
+    return language_id(_docs(sf_dir))
+
+
+def q_laplacian(sf_dir):
+    from .pipelines.linalg import laplacian_matrix
+
+    return laplacian_matrix(lineitem_graph(sf_dir))
+
+
 # -- corpus-pipeline queries (no SQL oracle; rows-only driver check) --------
 
 _corpus_graph_cache: dict = {}
@@ -338,6 +437,17 @@ QUERIES = {
     "events_sessions": q_sessions,
     "ann_topk": q_ann_topk,
     "embedding_centroids": q_centroids,
+    "bfs_levels": q_bfs_levels,
+    "bellman_ford": q_bellman_ford,
+    "edge_support": q_edge_support,
+    "k_truss4": q_k_truss,
+    "hits": q_hits,
+    "eigenvector_centrality": q_eigenvector,
+    "katz_centrality": q_katz,
+    "minhash_groups": q_minhash_groups,
+    "simhash": q_simhash,
+    "language_id": q_language_id,
+    "laplacian": q_laplacian,
     "corpus_pagerank": q_corpus_pagerank,
     "corpus_components": q_corpus_components,
     "corpus_extract_text": q_corpus_extract_text,
@@ -375,6 +485,27 @@ r{i + 1} AS MATERIALIZED (
     GROUP BY e.dst) c USING (v))"""
         )
     parts.append(f"\nSELECT v, ROUND(r, 8) AS pagerank FROM r{PR_ITERS} ORDER BY v")
+    return "".join(parts)
+
+
+def _bellman_ford_sql(rounds: int = 10) -> str:
+    parts = [
+        f"""WITH ew AS MATERIALIZED (SELECT (l_orderkey % {M})::BIGINT AS src,
+  (l_partkey % {M})::BIGINT AS dst, MIN(l_quantity)::DOUBLE AS w
+  FROM lineitem GROUP BY 1, 2),
+d0 AS MATERIALIZED (SELECT 0::BIGINT AS v, 0.0 AS d)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+d{i + 1} AS MATERIALIZED (
+  SELECT v, MIN(d) AS d FROM (
+    SELECT v, d FROM d{i}
+    UNION ALL
+    SELECT e.dst, x.d + e.w FROM d{i} x JOIN ew e ON e.src = x.v AND e.src <> e.dst) q
+  GROUP BY v)"""
+        )
+    parts.append(f"\nSELECT v, d AS dist FROM d{rounds} ORDER BY v")
     return "".join(parts)
 
 
@@ -494,6 +625,23 @@ s AS (SELECT user_id, ts,
 SELECT user_id, session_id::BIGINT AS session_id, COUNT(*)::BIGINT AS n_events,
        MIN(ts) AS start_ts, MAX(ts) AS end_ts
 FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "bfs_levels": f"""WITH RECURSIVE {_G},
+walk(v, level) AS (
+  SELECT 0::BIGINT, 0::BIGINT
+  UNION
+  SELECT e.dst, w.level + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.level < 60
+)
+SELECT v, MIN(level)::BIGINT AS level FROM walk GROUP BY v ORDER BY v""",
+    "bellman_ford": _bellman_ford_sql(),
+    "edge_support": f"""WITH {_G}, {_TRI},
+epairs AS (SELECT x AS u, y AS w FROM tri UNION ALL SELECT x, z FROM tri UNION ALL SELECT y, z FROM tri)
+SELECT u, w, COUNT(*)::BIGINT AS support FROM epairs GROUP BY u, w ORDER BY u, w""",
+    "laplacian": f"""WITH {_G}
+SELECT verts.v AS row, verts.v AS col, COALESCE(o.d, 0)::DOUBLE AS value
+FROM verts LEFT JOIN (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src) o USING (v)
+UNION ALL
+SELECT src AS row, dst AS col, -1.0 AS value FROM edges""",
     "ann_topk": """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2))
 SELECT qid, nid, ROUND(sim, 6) AS score FROM (
   SELECT q.qid, e.vec_id AS nid,
