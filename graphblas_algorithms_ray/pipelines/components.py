@@ -167,13 +167,14 @@ def connected_components(
         from ..stages.bsp_actors import BSPPool
 
         pool = BSPPool(P, state)
+        pool.register(
+            _CCSpMV(g.csr_refs, P, drop_stale_stats=True),
+            _CCCombine(n, P, superstep=0),
+        )
         try:
             it = start_it
             while True:
-                stats = pool.superstep(
-                    _CCSpMV(g.csr_refs, P, drop_stale_stats=True),
-                    _CCCombine(n, P, superstep=0),
-                )
+                stats = pool.superstep()
                 it += 1
                 if stats.get(0, {}).get(STAT_CHANGED, 0.0) == 0.0:
                     break

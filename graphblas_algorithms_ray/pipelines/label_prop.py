@@ -152,12 +152,13 @@ def label_propagation(G, max_iter: int = 30, chain: int = 5, executor: str = "da
         from ..stages.bsp_actors import BSPPool
 
         pool = BSPPool(P, state)
+        pool.register(
+            _LPASpMV(g.csr_refs, P, drop_stale_stats=True),
+            _LPACombine(n, P, superstep=0),
+        )
         try:
             for _ in range(max_iter):
-                stats = pool.superstep(
-                    _LPASpMV(g.csr_refs, P, drop_stale_stats=True),
-                    _LPACombine(n, P, superstep=0),
-                )
+                stats = pool.superstep()
                 if stats.get(0, {}).get(STAT_CHANGED, 0.0) == 0.0:
                     break
             final = pool.gather_state().materialize()

@@ -254,13 +254,14 @@ def pagerank(
         from ..stages.bsp_actors import BSPPool
 
         pool = BSPPool(P, state)
+        pool.register(
+            _PRSpMV(G.csr_refs, P, alpha, G.weighted, drop_stale_stats=True),
+            _PRCombine(G.aux_refs, n, P, alpha, p_ref, dw_ref, 0),
+        )
         try:
             it = start_it
             while it < max_iter:
-                stats = pool.superstep(
-                    _PRSpMV(G.csr_refs, P, alpha, G.weighted, drop_stale_stats=True),
-                    _PRCombine(G.aux_refs, n, P, alpha, p_ref, dw_ref, 0),
-                )
+                stats = pool.superstep()
                 delta = stats.get(0, {}).get(STAT_DELTA, np.inf)
                 it += 1
                 LAST_RUN_INFO.update(iterations=it, delta=delta)

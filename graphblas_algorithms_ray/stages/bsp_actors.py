@@ -59,6 +59,38 @@ class _PartWorker:
         )
         return True
 
+    def set_stages(self, spmv_stage, combine_stage):
+        # stages are constant across supersteps — register once instead of
+        # re-pickling them with every RPC
+        self._spmv = spmv_stage
+        self._combine = combine_stage
+        return True
+
+    def spmv_registered(self):
+        return self.spmv(self._spmv)
+
+    def combine_registered(self, *pieces: pa.Table):
+        return self.combine(self._combine, *pieces)
+
+    def spmv_whole(self):
+        """Dense-exchange variant: ONE output table (not split); receivers
+        filter their part. O(P) objects per superstep instead of O(P²) —
+        wins when messages are small (latency-bound regime); the split mesh
+        wins when messages are large (bandwidth-bound regime)."""
+        if self.state is None or self.state.num_rows == 0:
+            return None
+        return self._spmv(self.state)
+
+    def combine_whole(self, *tables):
+        import pyarrow.compute as pc
+
+        mine = [
+            t.filter(pc.equal(t["part"], self.part))
+            for t in tables
+            if t is not None and t.num_rows
+        ]
+        return self.combine(self._combine, *mine)
+
     def spmv(self, stage):
         if self.state is None or self.state.num_rows == 0:
             empty = pa.table(
@@ -94,27 +126,52 @@ class _PartWorker:
 class BSPPool:
     """P persistent workers; reuses fixpoint stage callables verbatim."""
 
-    def __init__(self, num_parts: int, init_state: ray.data.Dataset):
+    def __init__(self, num_parts: int, init_state: ray.data.Dataset, exchange: str = "dense"):
         self.P = num_parts
+        self.exchange = exchange  # "dense" (O(P) objects) | "split" (O(P²))
         self.workers = [
             _PartWorker.remote(k, num_parts) for k in range(num_parts)
         ]
         blocks = init_state.to_arrow_refs()
         ray.get([w.set_state.remote(*blocks) for w in self.workers])
+        self._registered = False
 
-    def superstep(self, spmv_stage, combine_stage) -> dict[int, dict[int, float]]:
+    def register(self, spmv_stage, combine_stage):
+        ray.get(
+            [w.set_stages.remote(spmv_stage, combine_stage) for w in self.workers]
+        )
+        self._registered = True
+
+    def superstep(self, spmv_stage=None, combine_stage=None) -> dict[int, dict[int, float]]:
         """Run one superstep; returns {superstep_tag: {stat_id: sum}} from
-        the combine's kind-3 rows."""
+        the combine's kind-3 rows. With stages pre-registered via
+        register(), omit the arguments (no per-RPC stage pickling)."""
         P = self.workers
-        outs = [
-            w.spmv.options(num_returns=self.P).remote(spmv_stage) for w in P
-        ]
+        if self._registered and spmv_stage is None and self.exchange == "dense":
+            outs = [w.spmv_whole.remote() for w in P]
+            stats_refs = [w.combine_whole.remote(*outs) for w in P]
+            return self._collect(stats_refs)
+        if self._registered and spmv_stage is None:
+            outs = [w.spmv_registered.options(num_returns=self.P).remote() for w in P]
+        else:
+            outs = [
+                w.spmv.options(num_returns=self.P).remote(spmv_stage) for w in P
+            ]
         if self.P == 1:
             outs = [[o] for o in outs]
-        stats_refs = [
-            P[j].combine.remote(combine_stage, *[outs[i][j] for i in range(self.P)])
-            for j in range(self.P)
-        ]
+        if self._registered and combine_stage is None:
+            stats_refs = [
+                P[j].combine_registered.remote(*[outs[i][j] for i in range(self.P)])
+                for j in range(self.P)
+            ]
+        else:
+            stats_refs = [
+                P[j].combine.remote(combine_stage, *[outs[i][j] for i in range(self.P)])
+                for j in range(self.P)
+            ]
+        return self._collect(stats_refs)
+
+    def _collect(self, stats_refs) -> dict[int, dict[int, float]]:
         stats: dict[int, dict[int, float]] = {}
         for t in ray.get(stats_refs):
             for sid, val, step in zip(
