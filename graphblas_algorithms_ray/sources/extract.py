@@ -104,8 +104,10 @@ class _AssignBucket:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self._sp is None:
-            self._sp = np.asarray(ray.get(self.splitters_ref), dtype=object)
-        vals = t[self.col].to_numpy(zero_copy_only=False)
+            # fixed-width unicode dtype → C-speed comparisons (object dtype
+            # would fall back to per-element Python compares)
+            self._sp = np.asarray(ray.get(self.splitters_ref), dtype="U")
+        vals = t[self.col].to_numpy(zero_copy_only=False).astype("U")
         b = np.searchsorted(self._sp, vals, side="right").astype(np.int32)
         return t.append_column("bucket", pa.array(b))
 
@@ -114,8 +116,8 @@ class _RankBucket:
     """Sort urls within a range bucket, emit local rank (dense, 0-based)."""
 
     def __call__(self, g: pa.Table) -> pa.Table:
-        urls = g["url"].to_numpy(zero_copy_only=False)
-        urls = np.unique(urls)  # sorted + distinct
+        urls = g["url"].to_numpy(zero_copy_only=False).astype("U")
+        urls = np.unique(urls)  # sorted + distinct, C-speed on U dtype
         b = int(g["bucket"][0].as_py())
         return pa.table(
             {
@@ -160,7 +162,9 @@ def build_vertex_dictionary(
     deterministic sorted-url enumeration per FIXTURES.md §2."""
     from .._util import named
 
-    u = urls.map_batches(_DedupKey("url"), batch_format="pyarrow")
+    # materialize: consumed by both the sample job and the rank job — without
+    # this the whole upstream lineage (extraction union) re-executes twice
+    u = urls.map_batches(_DedupKey("url"), batch_format="pyarrow").materialize()
 
     def _sample(t: pa.Table) -> pa.Table:
         vals = t["url"].to_numpy(zero_copy_only=False)
@@ -182,10 +186,17 @@ def build_vertex_dictionary(
         .map_groups(named(_RankBucket()), batch_format="pyarrow")
         .materialize()
     )
-    counts = {
-        int(r["bucket"]): int(r["count()"])
-        for r in ranked.groupby("bucket").count().take_all()
-    }
+    # shuffle-free bucket counts: per-batch partials + driver sum (the
+    # ranked table is already materialized; this is a cheap scan)
+    def _bucket_counts(t: pa.Table) -> pa.Table:
+        b, c = np.unique(t["bucket"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(b.astype(np.int32)), "n": pa.array(c.astype(np.int64))}
+        )
+
+    counts: dict[int, int] = {}
+    for r in ranked.map_batches(_bucket_counts, batch_format="pyarrow").take_all():
+        counts[int(r["bucket"])] = counts.get(int(r["bucket"]), 0) + int(r["n"])
     nb_total = len(splitters) + 1
     offsets = np.zeros(nb_total, dtype=np.int64)
     acc = 0
@@ -208,11 +219,11 @@ class _BroadcastLookup:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self._u is None:
-            self._u = ray.get(self.urls_ref)
+            self._u = ray.get(self.urls_ref).astype("U")
             self._v = ray.get(self.vids_ref)
         out = {}
         for col, alias in self.cols:
-            vals = t[col].to_numpy(zero_copy_only=False)
+            vals = t[col].to_numpy(zero_copy_only=False).astype("U")
             pos = np.searchsorted(self._u, vals)
             pos = np.minimum(pos, len(self._u) - 1)
             ok = self._u[pos] == vals
