@@ -1,0 +1,100 @@
+"""Documented small-graph fallbacks (SURVEY.md §7 non-goals at web scale):
+``google_matrix`` (dense N×N, reference ``pagerank_alg.py:104-162``) and
+``floyd_warshall`` (serial pivots, ``shortest_paths/dense.py:9-111``).
+
+Both refuse to run beyond a hard size guard; the dense work happens in Ray
+tasks (per row-block for the google matrix, one task for FW), never on the
+driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+_DENSE_LIMIT = 4000
+
+
+def google_matrix(
+    G, alpha: float = 0.85, personalization: dict | None = None, dangling: dict | None = None
+) -> np.ndarray:
+    """Dense PageRank transition matrix (row-stochastic, dangling rows
+    filled, teleport blended). Returns a numpy array (small graphs only)."""
+    G._ensure_built()
+    n = G.n
+    if n > _DENSE_LIMIT:
+        raise NotImplementedError(f"google_matrix is dense N^2; n={n} > {_DENSE_LIMIT}")
+    p = np.full(n, 1.0 / n)
+    if personalization is not None:
+        p = np.zeros(n)
+        for k, v in personalization.items():
+            p[int(k)] = float(v)
+        p = p / p.sum()
+    dw = p
+    if dangling is not None:
+        dw = np.zeros(n)
+        for k, v in dangling.items():
+            dw[int(k)] = float(v)
+        dw = dw / dw.sum()
+
+    @ray.remote
+    def _densify(edge_tables, n, alpha, p, dw):
+        A = np.zeros((n, n))
+        for t in edge_tables:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            w = (
+                t["weight"].to_numpy(zero_copy_only=False)
+                if "weight" in t.column_names
+                else np.ones(s.size)
+            )
+            A[s, d] += w
+        rs = A.sum(axis=1)
+        dangling_rows = rs == 0
+        A[dangling_rows] = dw
+        rs = A.sum(axis=1)
+        A = A / rs[:, None]
+        return alpha * A + (1 - alpha) * p
+
+    refs = G.edges_ds().to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    return ray.get(_densify.remote(tables, n, alpha, p, dw))
+
+
+def floyd_warshall(G) -> ray.data.Dataset:
+    """All-pairs shortest path distances via FW in one Ray task; Dataset
+    (src, dst, dist) of FINITE distances. Small graphs only."""
+    G._ensure_built()
+    n = G.n
+    if n > _DENSE_LIMIT // 2:
+        raise NotImplementedError(f"floyd_warshall is O(N^3); n={n} too large")
+
+    @ray.remote
+    def _fw(edge_tables, n, weighted):
+        D = np.full((n, n), np.inf)
+        np.fill_diagonal(D, 0.0)
+        for t in edge_tables:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            w = (
+                t["weight"].to_numpy(zero_copy_only=False)
+                if weighted and "weight" in t.column_names
+                else np.ones(s.size)
+            )
+            np.minimum.at(D, (s, d), w)
+        for kpivot in range(n):
+            np.minimum(D, D[:, kpivot : kpivot + 1] + D[kpivot : kpivot + 1, :], out=D)
+        s, d = np.nonzero(np.isfinite(D))
+        return pa.table(
+            {
+                "src": pa.array(s.astype(np.int64)),
+                "dst": pa.array(d.astype(np.int64)),
+                "dist": pa.array(D[s, d]),
+            }
+        )
+
+    refs = G.edges_ds().to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    return ray.data.from_arrow_refs([_fw.remote(tables, n, G.weighted)])
