@@ -366,6 +366,33 @@ def q_laplacian(sf_dir):
     return laplacian_matrix(lineitem_graph(sf_dir))
 
 
+def q_square_clustering(sf_dir):
+    from .pipelines.squares import square_clustering
+
+    return square_clustering(lineitem_graph(sf_dir, directed=False))
+
+
+def q_transitivity_directed(sf_dir):
+    from .pipelines.cluster_directed import transitivity_directed
+
+    return _scalar_df(
+        transitivity_directed=float(transitivity_directed(lineitem_graph(sf_dir)))
+    )
+
+
+def q_clustering_directed(sf_dir):
+    from .pipelines.cluster_directed import clustering_directed
+
+    return clustering_directed(lineitem_graph(sf_dir))
+
+
+def q_multi_bfs(sf_dir):
+    from .pipelines.allpairs import multi_source_bfs
+
+    sources = [v for v in range(M) if v % 16 == 0]
+    return multi_source_bfs(lineitem_graph(sf_dir), sources)
+
+
 # -- corpus-pipeline queries (no SQL oracle; rows-only driver check) --------
 
 _corpus_graph_cache: dict = {}
@@ -448,6 +475,10 @@ QUERIES = {
     "simhash": q_simhash,
     "language_id": q_language_id,
     "laplacian": q_laplacian,
+    "square_clustering": q_square_clustering,
+    "transitivity_directed": q_transitivity_directed,
+    "clustering_directed": q_clustering_directed,
+    "multi_source_bfs": q_multi_bfs,
     "corpus_pagerank": q_corpus_pagerank,
     "corpus_components": q_corpus_components,
     "corpus_extract_text": q_corpus_extract_text,
@@ -625,6 +656,42 @@ s AS (SELECT user_id, ts,
 SELECT user_id, session_id::BIGINT AS session_id, COUNT(*)::BIGINT AS n_events,
        MIN(ts) AS start_ts, MAX(ts) AS end_ts
 FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "square_clustering": f"""WITH {_G},
+nbr AS MATERIALIZED (SELECT a, b FROM sym WHERE a <> b),
+wedges AS MATERIALIZED (
+  SELECT n1.b AS u, n1.a AS v, n2.b AS w
+  FROM nbr n1 JOIN nbr n2 ON n1.a = n2.a AND n1.b < n2.b),
+cn AS MATERIALIZED (SELECT u, w, COUNT(*) AS c FROM wedges GROUP BY u, w),
+contrib AS MATERIALIZED (
+  SELECT wg.v,
+         (cn.c - 1)::DOUBLE AS q,
+         du.d::DOUBLE AS ku, dw.d::DOUBLE AS kw,
+         CASE WHEN e.u IS NOT NULL THEN 1.0 ELSE 0.0 END AS adj
+  FROM wedges wg
+  JOIN cn ON cn.u = wg.u AND cn.w = wg.w
+  JOIN udeg du ON du.v = wg.u
+  JOIN udeg dw ON dw.v = wg.w
+  LEFT JOIN uedges e ON e.u = least(wg.u, wg.w) AND e.w = greatest(wg.u, wg.w)),
+agg AS (
+  SELECT v, SUM(q) AS num,
+         SUM((ku - (q + 1 + adj)) + (kw - (q + 1 + adj)) + q) AS den
+  FROM contrib GROUP BY v)
+SELECT verts.v,
+       CASE WHEN COALESCE(agg.den, 0) > 0 THEN agg.num / agg.den ELSE 0.0 END AS square_clustering
+FROM verts LEFT JOIN agg ON agg.v = verts.v ORDER BY verts.v""",
+    "transitivity_directed": f"""WITH {_G},
+num AS (SELECT COUNT(*)::DOUBLE AS x
+  FROM edges e JOIN edges a1 ON a1.src = e.src JOIN edges a2 ON a2.src = e.dst AND a2.dst = a1.dst),
+od AS (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM edges WHERE src <> dst GROUP BY src)
+SELECT (SELECT x FROM num) / (SELECT SUM(d * (d - 1)) FROM od) AS transitivity_directed""",
+    "multi_source_bfs": f"""WITH RECURSIVE {_G},
+walk(source, v, level) AS (
+  SELECT v, v, 0::BIGINT FROM verts WHERE v % 16 = 0
+  UNION
+  SELECT w.source, e.dst, w.level + 1 FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.level < 60
+)
+SELECT source, v, MIN(level)::BIGINT AS level FROM walk GROUP BY source, v ORDER BY source, v""",
     "bfs_levels": f"""WITH RECURSIVE {_G},
 walk(v, level) AS (
   SELECT 0::BIGINT, 0::BIGINT
