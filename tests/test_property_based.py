@@ -1,0 +1,67 @@
+"""Property-based sweeps (FIXTURES.md §3.4): random graphs × {directed,
+self-edges, dangling sinks, isolated vertices, duplicate edges} — the
+cache-semantics corners of the reference's +/- self-edge handling."""
+
+import networkx as nx
+import numpy as np
+from hypothesis import given, settings, strategies as st
+from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+
+from graphblas_algorithms_ray import Graph
+from graphblas_algorithms_ray.pipelines.components import components_dict
+from graphblas_algorithms_ray.pipelines.pagerank import pagerank_dict
+from graphblas_algorithms_ray.pipelines.triangles import total_triangles
+
+
+def _make_edges(seed: int, n: int, directed: bool):
+    rng = np.random.RandomState(seed)
+    m = rng.randint(1, max(2, n * 2))
+    edges = [(int(rng.randint(n)), int(rng.randint(n))) for _ in range(m)]
+    if seed % 2:
+        edges += edges[: max(1, m // 4)]  # duplicate edges
+    if seed % 3 == 0:
+        edges.append((seed % n, seed % n))  # self loop
+    return edges
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10**6), directed=st.booleans())
+def test_pagerank_matches_networkx(seed, directed):
+    n = 25
+    edges = _make_edges(seed, n, directed)
+    G = nx.DiGraph() if directed else nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(edges)
+    g = Graph(edges, n=n, directed=directed, num_parts=3)
+    ours = pagerank_dict(g)
+    theirs = _pagerank_python(G)
+    for v in range(n):
+        assert abs(ours[v] - theirs[v]) < 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10**6))
+def test_cc_matches_networkx(seed):
+    n = 30
+    edges = _make_edges(seed, n, False)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(edges)
+    g = Graph(edges, n=n, directed=False, num_parts=3)
+    exp = {}
+    for comp in nx.connected_components(G):
+        mn = min(comp)
+        for v in comp:
+            exp[v] = mn
+    assert components_dict(g) == exp
+
+
+@settings(max_examples=4, deadline=None)
+@given(seed=st.integers(0, 10**6))
+def test_triangles_self_edge_invariance(seed):
+    # adding self loops must not change triangle counts (offdiag semantics)
+    n = 20
+    edges = [e for e in _make_edges(seed, n, False) if e[0] != e[1]]
+    g1 = Graph(edges, n=n, directed=False, num_parts=3)
+    g2 = Graph(edges + [(v, v) for v in range(0, n, 3)], n=n, directed=False, num_parts=3)
+    assert total_triangles(g1) == total_triangles(g2)
