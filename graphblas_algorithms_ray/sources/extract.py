@@ -112,20 +112,53 @@ class _AssignBucket:
         return t.append_column("bucket", pa.array(b))
 
 
-class _RankBucket:
-    """Sort urls within a range bucket, emit local rank (dense, 0-based)."""
+@ray.remote
+def _split_by_range(t: pa.Table, sp, num_buckets: int):
+    """Map side of the manual RANGE shuffle for the dictionary rank.
+    (`sp` arrives resolved — Ray substitutes ObjectRef args.)"""
+    if t.num_rows == 0 or "url" not in t.column_names:
+        empty = pa.table({"url": pa.array([], pa.string())})
+        return [empty] * num_buckets if num_buckets > 1 else empty
+    vals = t["url"].to_numpy(zero_copy_only=False).astype("U")
+    b = np.searchsorted(np.asarray(sp, dtype="U"), vals, side="right")
+    order = np.argsort(b, kind="stable")
+    sorted_t = t.take(pa.array(order))
+    bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
+    out = [
+        sorted_t.slice(bounds[k], bounds[k + 1] - bounds[k])
+        for k in range(num_buckets)
+    ]
+    return out if num_buckets > 1 else out[0]
 
-    def __call__(self, g: pa.Table) -> pa.Table:
-        urls = g["url"].to_numpy(zero_copy_only=False).astype("U")
-        urls = np.unique(urls)  # sorted + distinct, C-speed on U dtype
-        b = int(g["bucket"][0].as_py())
-        return pa.table(
+
+@ray.remote(num_returns=2)
+def _rank_bucket_task(bucket: int, *frags: pa.Table):
+    """Reduce side: sorted distinct urls of this range + local ranks."""
+    live = [f for f in frags if f is not None and f.num_rows]
+    if not live:
+        return (
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int32()),
+                    "local_rank": pa.array([], pa.int64()),
+                }
+            ),
+            0,
+        )
+    urls = np.unique(
+        pa.concat_tables(live)["url"].to_numpy(zero_copy_only=False).astype("U")
+    )
+    return (
+        pa.table(
             {
                 "url": pa.array(urls, pa.string()),
-                "bucket": pa.array(np.full(urls.size, b, np.int32)),
+                "bucket": pa.array(np.full(urls.size, bucket, np.int32)),
                 "local_rank": pa.array(np.arange(urls.size, dtype=np.int64)),
             }
-        )
+        ),
+        int(urls.size),
+    )
 
 
 class _AddOffset:
@@ -178,32 +211,33 @@ def build_vertex_dictionary(
         splitters = sorted(set(sample[i] for i in idx))
     else:
         splitters = []
-    sp_ref = ray.put(splitters)
+    sp_ref = ray.put(np.asarray(splitters, dtype="U"))
+    B = len(splitters) + 1
 
-    ranked = (
-        u.map_batches(_AssignBucket(sp_ref, "url"), batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(named(_RankBucket()), batch_format="pyarrow")
-        .materialize()
-    )
-    # shuffle-free bucket counts: per-batch partials + driver sum (the
-    # ranked table is already materialized; this is a cheap scan)
-    def _bucket_counts(t: pa.Table) -> pa.Table:
-        b, c = np.unique(t["bucket"].to_numpy(zero_copy_only=False), return_counts=True)
-        return pa.table(
-            {"bucket": pa.array(b.astype(np.int32)), "n": pa.array(c.astype(np.int64))}
+    # manual range shuffle (no sort pass): split each block into per-bucket
+    # fragments, one rank task per bucket sorts its range
+    blocks = u.to_arrow_refs()
+    frag_refs = [
+        _split_by_range.options(num_returns=B if B > 1 else 1).remote(b, sp_ref, B)
+        for b in blocks
+    ]
+    if B == 1:
+        frag_refs = [[f] for f in frag_refs]
+    ranked_refs, count_refs = [], []
+    for bkt in range(B):
+        r, c = _rank_bucket_task.options(num_returns=2).remote(
+            bkt, *[frag_refs[i][bkt] for i in range(len(blocks))]
         )
-
-    counts: dict[int, int] = {}
-    for r in ranked.map_batches(_bucket_counts, batch_format="pyarrow").take_all():
-        counts[int(r["bucket"])] = counts.get(int(r["bucket"]), 0) + int(r["n"])
-    nb_total = len(splitters) + 1
-    offsets = np.zeros(nb_total, dtype=np.int64)
+        ranked_refs.append(r)
+        count_refs.append(c)
+    counts = ray.get(count_refs)
+    offsets = np.zeros(B, dtype=np.int64)
     acc = 0
-    for b in range(nb_total):
+    for b in range(B):
         offsets[b] = acc
-        acc += counts.get(b, 0)
+        acc += counts[b]
     off_ref = ray.put(offsets)
+    ranked = ray.data.from_arrow_refs(ranked_refs)
     return ranked.map_batches(_AddOffset(off_ref), batch_format="pyarrow")
 
 

@@ -81,7 +81,8 @@ def _swap_batch(t: pa.Table) -> pa.Table:
 
 
 class _AddPart:
-    """src % P partition column (vectorized)."""
+    """src % P partition column (vectorized) — kept for callers that want an
+    explicit Ray Data shuffle instead of the manual hash exchange."""
 
     def __init__(self, num_parts: int):
         self.num_parts = num_parts
@@ -91,29 +92,28 @@ class _AddPart:
         return t.append_column("part", pa.array(part_of(src, self.num_parts)))
 
 
-class _WritePart:
-    """Write one edge shard parquet atomically, return a manifest row."""
+@ray.remote
+def _split_block(t: pa.Table, num_parts: int):
+    """Map side of the manual hash shuffle: one edge block → P per-part
+    fragments. Each byte moves exactly once (reducers fetch only their
+    fragments) — the same data movement as a hash shuffle, without the
+    sort/sample passes of Ray Data's sort-based groupby."""
+    if t.num_rows == 0 or "src" not in t.column_names:
+        # empty blocks (e.g. from upstream groupby outputs) may carry an
+        # empty schema; emit schema-less empties that reducers skip
+        empty = pa.table({})
+        return [empty] * num_parts if num_parts > 1 else empty
+    src = t["src"].to_numpy(zero_copy_only=False)
+    parts = (src % num_parts).astype(np.int64)
+    order = np.argsort(parts, kind="stable")
+    sorted_t = t.take(pa.array(order))
+    bounds = np.searchsorted(parts[order], np.arange(num_parts + 1))
+    out = [sorted_t.slice(bounds[k], bounds[k + 1] - bounds[k]) for k in range(num_parts)]
+    return out if num_parts > 1 else out[0]
 
-    def __init__(self, outdir: str, weighted: bool):
-        self.outdir = outdir
-        self.weighted = weighted
 
-    def __call__(self, g: pa.Table) -> pa.Table:
-        part = int(g["part"][0].as_py())
-        keep = ["src", "dst"] + (["weight"] if self.weighted else [])
-        tbl = g.select(keep)
-        path = os.path.join(self.outdir, f"part_{part:05d}.parquet")
-        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, path)
-        return pa.table(
-            {"part": pa.array([part], pa.int32()), "rows": pa.array([tbl.num_rows], pa.int64())}
-        )
-
-
-@ray.remote(num_returns=3)
-def _build_shard(path, k: int, n: int, num_parts: int, weighted: bool, keep_self: bool, dup: str):
-    """Build the CSR shard for part k from its edge parquet file.
+def _build_shard_impl(src, dst, w, path, k, n, num_parts, keep_self, dup, weighted):
+    """Dedup + CSR build + (optional) checkpoint parquet for part k.
 
     Returns (csr, aux, meta):
       csr:  srcs (sorted unique), indptr, dst (sorted within row),
@@ -122,20 +122,6 @@ def _build_shard(path, k: int, n: int, num_parts: int, weighted: bool, keep_self
       aux:  universe-aligned arrays for part k: out_cnt, out_wsum, out_self
       meta: {'m': deduped edge count, 'self_edges': count}
     """
-    if path is not None and os.path.exists(path):
-        tbl = pq.read_table(path)
-        src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        w = (
-            tbl["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-            if weighted and "weight" in tbl.column_names
-            else None
-        )
-    else:
-        src = np.empty(0, np.int64)
-        dst = np.empty(0, np.int64)
-        w = np.empty(0, np.float64) if weighted else None
-
     if not keep_self and src.size:
         mask = src != dst
         src, dst = src[mask], dst[mask]
@@ -201,9 +187,9 @@ def _build_shard(path, k: int, n: int, num_parts: int, weighted: bool, keep_self
     aux = {"out_cnt": out_cnt, "out_wsum": out_wsum, "out_self": out_self}
     meta = {"m": int(src.size), "self_edges": int(row_self.sum())}
 
-    # Rewrite the shard parquet deduped so edges_ds() is a plain read and the
+    # Checkpoint the deduped shard so edges_ds() is a plain read and the
     # on-disk edge layout doubles as a clean graph checkpoint.
-    if path is not None and os.path.exists(path):
+    if path is not None and src.size:
         cols = {"src": src, "dst": dst}
         if w is not None:
             cols["weight"] = w
@@ -211,6 +197,28 @@ def _build_shard(path, k: int, n: int, num_parts: int, weighted: bool, keep_self
         pq.write_table(pa.table(cols), tmp)
         os.replace(tmp, path)
     return csr, aux, meta
+
+
+@ray.remote(num_returns=3)
+def _build_shard_from_frags(k, n, num_parts, weighted, keep_self, dup, path, *frags):
+    """Reduce side of the manual hash shuffle."""
+    live = [f for f in frags if f is not None and f.num_rows]
+    if live:
+        t = pa.concat_tables(live)
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        w = (
+            t["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            if weighted and "weight" in t.column_names
+            else (np.empty(0, np.float64) if weighted else None)
+        )
+    else:
+        src = np.empty(0, np.int64)
+        dst = np.empty(0, np.int64)
+        w = np.empty(0, np.float64) if weighted else None
+    return _build_shard_impl(
+        src, dst, w, path if live else None, k, n, num_parts, keep_self, dup, weighted
+    )
 
 
 class Graph:
@@ -296,18 +304,27 @@ class Graph:
         edir = os.path.join(self.workdir, "edges")
         os.makedirs(edir, exist_ok=True)
         P = self.num_parts
-        manifest = (
-            ds.map_batches(_AddPart(P), batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(named(_WritePart(edir, self.weighted)), batch_format="pyarrow")
-            .take_all()
-        )
-        present = {int(r["part"]) for r in manifest}
+        # manual hash shuffle: split every block into per-part fragments,
+        # build each part's CSR from exactly its fragments (no sort pass)
+        blocks = ds.materialize().to_arrow_refs()
+        frag_refs = [
+            _split_block.options(num_returns=P if P > 1 else 1).remote(b, P)
+            for b in blocks
+        ]
+        if P == 1:
+            frag_refs = [[f] for f in frag_refs]
         csr_refs, aux_refs, meta_refs = [], [], []
         for k in range(P):
-            path = os.path.join(edir, f"part_{k:05d}.parquet") if k in present else None
-            c, a, m = _build_shard.remote(
-                path, k, self.n, P, self.weighted, self.keep_self, self.dup
+            path = os.path.join(edir, f"part_{k:05d}.parquet")
+            c, a, m = _build_shard_from_frags.remote(
+                k,
+                self.n,
+                P,
+                self.weighted,
+                self.keep_self,
+                self.dup,
+                path,
+                *[frag_refs[i][k] for i in range(len(blocks))],
             )
             csr_refs.append(c)
             aux_refs.append(a)
