@@ -157,6 +157,190 @@ def bellman_ford_dict(G, source) -> dict:
     return dict(zip(df["v"].astype(int), df["dist"].astype(float)))
 
 
+class _BFParentSpMV(_BFSpMV):
+    """Relaxations carrying (dist, parent): f0 = candidate dist, message
+    i0 = the relaxing source vertex (parent candidate). State i0 packs
+    ((parent+1) << 1) | active. Min combine is lexicographic (dist, parent)
+    — the reference reverse-engineers the producing edge
+    (``weighted.py:268-284``); carrying the parent through the min-combine
+    is the simpler equivalent (SURVEY.md §2.6)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.and_(pc.equal(t["kind"], 0), pc.greater_equal(t["v"], 0)))
+        if t.num_rows == 0:
+            return state_table(0, 0, np.empty(0, np.int64))
+        b = spmv.batch_numpy(t)
+        out = [t]
+        active = (b["i0"] & 1) == 1
+        for k, sel in spmv.iter_parts(b):
+            csr = self.cache.get(k)
+            idx = np.nonzero(active)[0] if isinstance(sel, slice) else sel[active[sel]]
+            v, dist = b["v"][idx], b["f0"][idx]
+            rows, pos = spmv.match_sources(csr, v)
+            if rows.size == 0:
+                continue
+            indptr = csr["indptr"]
+            lens = indptr[pos + 1] - indptr[pos]
+            eidx = spmv.concat_ranges(indptr[pos], lens)
+            dsts = csr["dst"][eidx]
+            srcs = np.repeat(v[rows], lens)
+            w = (
+                csr["weight"][eidx]
+                if self.weighted and csr.get("weight") is not None
+                else 1.0
+            )
+            vals = np.repeat(dist[rows], lens) + w
+            keep = dsts != srcs
+            dsts, vals, srcs = dsts[keep], vals[keep], srcs[keep]
+            # lexicographic (dist, parent) min per dst
+            order = np.lexsort((srcs, vals, dsts))
+            d_s, v_s, p_s = dsts[order], vals[order], srcs[order]
+            first = np.ones(d_s.size, dtype=bool)
+            first[1:] = d_s[1:] != d_s[:-1]
+            out.append(
+                state_table(
+                    (d_s[first] % self.P).astype(np.int32),
+                    1,
+                    d_s[first],
+                    f0=v_s[first],
+                    i0=p_s[first],
+                )
+            )
+        return pa.concat_tables(out)
+
+
+class _BFParentCombine(_BFCombine):
+    """State: f0 = dist, i0 packs ((parent+1) << 1) | active."""
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        b = spmv.batch_numpy(g)
+        k = int(b["part"][0])
+        usize = universe_size(k, self.n, self.P)
+        kind, v = b["kind"], b["v"]
+        st = (kind == 0) & (v >= 0)
+        dist = np.full(usize, _INF)
+        parent = np.full(usize, -1, np.int64)
+        li = v[st] // self.P
+        dist[li] = b["f0"][st]
+        parent[li] = (b["i0"][st] >> 1) - 1
+        new = dist.copy()
+        newp = parent.copy()
+        msg = kind == 1
+        if msg.any():
+            mi = v[msg] // self.P
+            md = b["f0"][msg]
+            mp = b["i0"][msg]
+            order = np.lexsort((mp, md, mi))
+            mi_s, md_s, mp_s = mi[order], md[order], mp[order]
+            first = np.ones(mi_s.size, dtype=bool)
+            first[1:] = mi_s[1:] != mi_s[:-1]
+            mi_s, md_s, mp_s = mi_s[first], md_s[first], mp_s[first]
+            better = md_s < new[mi_s]
+            new[mi_s[better]] = md_s[better]
+            newp[mi_s[better]] = mp_s[better]
+        improved = new < dist
+        uni = universe(k, self.n, self.P)
+        packed = ((newp + 1) << 1) | improved.astype(np.int64)
+        return pa.concat_tables(
+            [
+                state_table(k, 0, uni, f0=new, i0=packed),
+                stats_rows(k, {STAT_CHANGED: float(improved.sum())}),
+            ]
+        )
+
+
+def bellman_ford_path(G, source: int, target: int):
+    """Shortest path (list of vertices) source→target; reference
+    ``weighted.py:213-308``. Raises Unbounded on negative cycles."""
+    G._ensure_built()
+    n, P = G.n, G.num_parts
+
+    class _Init(_BFInit):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = []
+            for k in t["id"].to_numpy(zero_copy_only=False):
+                k = int(k)
+                uni = universe(k, n, P)
+                if uni.size == 0:
+                    continue
+                dist = np.full(uni.size, _INF)
+                packed = np.zeros(uni.size, np.int64)
+                if self.src % P == k:
+                    dist[self.src // P] = 0.0
+                    packed[self.src // P] = ((self.src + 1) << 1) | 1
+                out.append(state_table(k, 0, uni, f0=dist, i0=packed))
+            if not out:
+                return state_table(0, 0, np.empty(0, np.int64))
+            return pa.concat_tables(out)
+
+    state = (
+        ray.data.range(P, override_num_blocks=P)
+        .map_batches(_Init(n, P, source), batch_format="pyarrow")
+        .materialize()
+    )
+    it = 0
+    while True:
+        state, stats = run_iteration(
+            state, _BFParentSpMV(G.csr_refs, P, G.weighted), _BFParentCombine(n, P)
+        )
+        it += 1
+        if stats.get(STAT_CHANGED, 0.0) == 0:
+            break
+        if it > n:
+            raise Unbounded("negative cycle reachable from source")
+
+    import pyarrow.compute as pc
+
+    df = state.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["kind"], 0), pc.greater_equal(t["v"], 0))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    dist = dict(zip(df["v"].astype(int), df["f0"].astype(float)))
+    packed = df["i0"].to_numpy().astype(np.int64)
+    parent = dict(zip(df["v"].astype(int), (packed >> 1) - 1))
+    if not np.isfinite(dist.get(int(target), np.inf)):
+        raise KeyError(f"no path {source} -> {target}")
+    path = [int(target)]
+    while path[-1] != int(source):
+        p = parent[path[-1]]
+        if p < 0:
+            raise KeyError(f"no path {source} -> {target}")
+        path.append(p)
+    return list(reversed(path))
+
+
+def bellman_ford_path_lengths(G, sources) -> ray.data.Dataset:
+    """Multi-source Bellman-Ford (reference ``weighted.py:118-197``):
+    Dataset (source, v, dist). Composed per source over the shared CSR
+    shards (source-chunked exactly like the reference's nxapi wrapper)."""
+    outs = []
+    for s in sources:
+        ds = bellman_ford_path_length(G, int(s))
+        sv = int(s)
+        outs.append(
+            ds.map_batches(
+                lambda t, sv=sv: pa.table(
+                    {
+                        "source": pa.array(
+                            np.full(t.num_rows, sv, np.int64)
+                        ),
+                        "v": t["v"],
+                        "dist": t["dist"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    ds = outs[0]
+    for o in outs[1:]:
+        ds = ds.union(o)
+    return ds
+
+
 def negative_edge_cycle(G) -> bool:
     """Reference ``weighted.py:311-348`` — any negative cycle in the graph:
     run BF from a virtual super-source (dist 0 everywhere) and watch for

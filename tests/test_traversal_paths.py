@@ -84,3 +84,36 @@ def test_negative_cycle_detection():
     with pytest.raises(Unbounded):
         bellman_ford_dict(g, 0)
     assert negative_edge_cycle(g)
+
+
+def test_bellman_ford_path_reconstruction():
+    rng = np.random.RandomState(7)
+    G = nx.gnp_random_graph(40, 0.1, seed=7, directed=True)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.randint(1, 10))
+    from graphblas_algorithms_ray.pipelines.shortest_paths import (
+        bellman_ford_path,
+        bellman_ford_path_lengths,
+    )
+
+    g = Graph.from_networkx(G, weighted=True, num_parts=3)
+    # path must exist and have the optimal length (path itself may differ
+    # among equal-cost paths; our tie-break is deterministic lexicographic)
+    lengths = nx.single_source_bellman_ford_path_length(G, 0)
+    reachable = [t for t in lengths if t != 0]
+    for t in reachable[:5]:
+        path = bellman_ford_path(g, 0, t)
+        assert path[0] == 0 and path[-1] == t
+        cost = sum(G[a][b]["weight"] for a, b in zip(path, path[1:]))
+        assert abs(cost - lengths[t]) < 1e-9
+
+    # multi-source lengths
+    ds = bellman_ford_path_lengths(g, [0, 1]).to_pandas()
+    got = {}
+    for _, r in ds.iterrows():
+        got.setdefault(int(r["source"]), {})[int(r["v"])] = float(r["dist"])
+    for s in (0, 1):
+        exp = nx.single_source_bellman_ford_path_length(G, s)
+        assert set(got[s]) == set(exp)
+        for v in exp:
+            assert abs(got[s][v] - exp[v]) < 1e-9
