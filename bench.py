@@ -47,7 +47,7 @@ def run_bench() -> dict:
     from graphblas_algorithms_ray.pipelines.label_prop import label_propagation
     from graphblas_algorithms_ray.pipelines.triangles import total_triangles
 
-    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "1000000"))
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
     # fixed partition count across scaling levels (vary parallelism only)
     num_parts = int(os.environ.get("GRAFT_BENCH_PARTS", "32"))
 
