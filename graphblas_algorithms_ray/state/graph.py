@@ -200,6 +200,25 @@ def _build_shard_impl(src, dst, w, path, k, n, num_parts, keep_self, dup, weight
 
 
 @ray.remote(num_returns=3)
+def _build_shard_from_parquet(path, k, n, num_parts, weighted, keep_self, dup):
+    """Rebuild one CSR shard from its checkpoint parquet (Graph.load)."""
+    if path is not None and os.path.exists(path):
+        t = pq.read_table(path)
+        src = t["src"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        w = (
+            t["weight"].to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            if weighted and "weight" in t.column_names
+            else (np.empty(0, np.float64) if weighted else None)
+        )
+    else:
+        src = np.empty(0, np.int64)
+        dst = np.empty(0, np.int64)
+        w = np.empty(0, np.float64) if weighted else None
+    return _build_shard_impl(src, dst, w, None, k, n, num_parts, keep_self, dup, weighted)
+
+
+@ray.remote(num_returns=3)
 def _build_shard_from_frags(k, n, num_parts, weighted, keep_self, dup, path, *frags):
     """Reduce side of the manual hash shuffle."""
     live = [f for f in frags if f is not None and f.num_rows]
@@ -268,6 +287,52 @@ class Graph:
     @classmethod
     def from_edgelist(cls, edges, n=None, **kw):
         return cls(edges, n=n, **kw)
+
+    @classmethod
+    def load(cls, workdir: str) -> "Graph":
+        """Reconstruct a Graph from its on-disk build checkpoint (the
+        per-part deduped edge parquet + manifest written by _ensure_built)
+        WITHOUT re-shuffling: shards rebuild directly from their files.
+        This is the graph-level resume story: a restarted driver skips the
+        extraction + dictionary + partition work entirely."""
+        with open(os.path.join(workdir, "manifest.json")) as f:
+            mf = json.load(f)
+        paths = sorted(
+            os.path.join(workdir, "edges", p)
+            for p in os.listdir(os.path.join(workdir, "edges"))
+            if p.endswith(".parquet")
+        )
+        g = cls(
+            ray.data.read_parquet(paths) if paths else [],
+            n=mf["n"],
+            directed=True,  # shard files are already symmetrized if needed
+            weighted=mf["weighted"],
+            num_parts=mf["num_parts"],
+            workdir=workdir,
+        )
+        # rebuild CSR shards straight from the checkpoint files (no shuffle)
+        csr_refs, aux_refs, meta_refs = [], [], []
+        for k in range(mf["num_parts"]):
+            path = os.path.join(workdir, "edges", f"part_{k:05d}.parquet")
+            c, a, m = _build_shard_from_parquet.remote(
+                path if os.path.exists(path) else None,
+                k,
+                mf["n"],
+                mf["num_parts"],
+                mf["weighted"],
+                g.keep_self,
+                g.dup,
+            )
+            csr_refs.append(c)
+            aux_refs.append(a)
+            meta_refs.append(m)
+        g.csr_refs, g.aux_refs = csr_refs, aux_refs
+        metas = ray.get(meta_refs)
+        g.m = sum(mt["m"] for mt in metas)
+        g.self_edges = sum(mt["self_edges"] for mt in metas)
+        g.directed = mf["directed"]
+        g._built = True
+        return g
 
     @classmethod
     def from_networkx(cls, G, **kw):

@@ -45,3 +45,19 @@ def test_resume_mid_run(tmp_path):
         rtol=0,
     )
     shutil.rmtree(ck)
+
+
+def test_graph_load_from_checkpoint():
+    """Graph-level resume: reconstruct from the build checkpoint without
+    re-shuffling; pagerank identical."""
+    from graphblas_algorithms_ray import Graph
+
+    G = nx.gnp_random_graph(60, 0.06, seed=31, directed=True)
+    g = Graph.from_networkx(G, num_parts=3)
+    pr1 = pagerank_dict(g)
+    g2 = Graph.load(g.workdir)
+    assert (g2.n, g2.m, g2.directed) == (g.n, g.m, g.directed)
+    pr2 = pagerank_dict(g2)
+    np.testing.assert_allclose(
+        [pr1[v] for v in sorted(pr1)], [pr2[v] for v in sorted(pr2)], atol=1e-12
+    )
