@@ -253,7 +253,9 @@ class _BroadcastLookup:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self._u is None:
-            self._u = ray.get(self.urls_ref).astype("U")
+            # already U-dtype in the object store → zero-copy, no per-task
+            # string conversion
+            self._u = ray.get(self.urls_ref)
             self._v = ray.get(self.vids_ref)
         out = {}
         for col, alias in self.cols:
@@ -283,9 +285,11 @@ def map_edges_to_ids(
     if n_dict <= broadcast_limit:
         tabs = [t for t in ray.get(dictionary.to_arrow_refs()) if t.num_rows]
         tbl = pa.concat_tables(tabs)
-        urls = tbl["url"].to_numpy(zero_copy_only=False)
+        # one conversion to fixed-width unicode on the driver; the broadcast
+        # array is then a plain buffer (zero-copy in every task)
+        urls = tbl["url"].to_numpy(zero_copy_only=False).astype("U")
         order = np.argsort(urls)
-        urls_ref = ray.put(urls[order])
+        urls_ref = ray.put(np.ascontiguousarray(urls[order]))
         vids_ref = ray.put(tbl["vid"].to_numpy(zero_copy_only=False)[order])
         return links.map_batches(
             _BroadcastLookup(urls_ref, vids_ref, [("src_url", "src"), ("dst_url", "dst")]),
