@@ -113,3 +113,16 @@ def test_tournament_matrix():
         dense[int(r["row"]), int(r["col"])] += r["value"]
     assert np.all(dense == -dense.T)
     assert np.abs(dense).sum() == 2 * G.number_of_edges()
+
+
+def test_registry_dispatch():
+    """The ALGORITHMS registry (reference Dispatcher parity) dispatches by
+    NetworkX-style name."""
+    from graphblas_algorithms_ray.registry import ALGORITHMS
+
+    assert len(ALGORITHMS) >= 85
+    G = nx.gnp_random_graph(20, 0.2, seed=2, directed=True)
+    g = Graph.from_networkx(G, num_parts=2)
+    pr = ALGORITHMS["pagerank"](g).to_pandas()
+    assert len(pr) == 20
+    assert abs(ALGORITHMS["overall_reciprocity"](g) - nx.overall_reciprocity(G)) < 1e-12
