@@ -312,7 +312,15 @@ def pagerank(
                 checkpoint_dir,
                 it - 1,
                 {STAT_DELTA: last_delta},
-                {"algo": "pagerank", "converged": converged},
+                {
+                    "algo": "pagerank",
+                    "converged": converged,
+                    # lineage: which graph + parameters produced this iterate
+                    "graph": G.workdir,
+                    "n": n,
+                    "m": G.m,
+                    "params": {"alpha": alpha, "tol": tol, "chain": chain},
+                },
             )
         if converged:
             return extract_vertex_values(state, "pagerank")

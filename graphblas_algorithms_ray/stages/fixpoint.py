@@ -131,10 +131,14 @@ def checkpoint_state(state: ray.data.Dataset, ckpt_dir: str, it: int, stats: dic
     if os.path.exists(sdir):
         shutil.rmtree(sdir)
     os.replace(tmpdir, sdir)
+    import time as _time
+
     manifest = {
         "iter": it,
         "stats": {str(k): v for k, v in stats.items()},
         "rows": state.count(),
+        "parts": sorted(os.listdir(sdir)),
+        "written_at": _time.time(),
         **(extra or {}),
     }
     tmp = os.path.join(ckpt_dir, f".manifest_{it:05d}.tmp")
