@@ -308,11 +308,21 @@ def q_edge_support(sf_dir):
     return edge_support(lineitem_graph(sf_dir, directed=False))
 
 
+K_TRUSS_ROUNDS = 8
+
+
 def q_k_truss(sf_dir):
     from .pipelines.core import k_truss
 
-    g = k_truss(lineitem_graph(sf_dir, directed=False), 4)
-    return g.edges_ds()
+    g = k_truss(lineitem_graph(sf_dir, directed=False), 4, max_rounds=K_TRUSS_ROUNDS)
+
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        m = s < d
+        return pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])})
+
+    return g.edges_ds().map_batches(_canon, batch_format="pyarrow")
 
 
 def q_hits(sf_dir):
@@ -540,6 +550,27 @@ d{i + 1} AS MATERIALIZED (
     return "".join(parts)
 
 
+def _k_truss_sql(k: int = 4, rounds: int = K_TRUSS_ROUNDS) -> str:
+    # engine runs to fixpoint (capped at `rounds`); the fixpoint is stable
+    # under further rounds, so R unrolled SQL rounds give the identical set
+    parts = [f"WITH {_G},\ne0 AS MATERIALIZED (SELECT u, w FROM uedges)"]
+    for r in range(rounds):
+        parts.append(
+            f""",
+sup{r} AS MATERIALIZED (
+  SELECT u, w, COUNT(*) AS c FROM (
+    SELECT a.u, a.w FROM e{r} a JOIN e{r} b ON b.u = a.w JOIN e{r} c ON c.u = a.u AND c.w = b.w
+    UNION ALL
+    SELECT a.u, b.w FROM e{r} a JOIN e{r} b ON b.u = a.w JOIN e{r} c ON c.u = a.u AND c.w = b.w
+    UNION ALL
+    SELECT a.w, b.w FROM e{r} a JOIN e{r} b ON b.u = a.w JOIN e{r} c ON c.u = a.u AND c.w = b.w) q
+  GROUP BY u, w),
+e{r + 1} AS MATERIALIZED (SELECT u, w FROM sup{r} WHERE c >= {k - 2})"""
+        )
+    parts.append(f"\nSELECT u AS src, w AS dst FROM e{rounds} ORDER BY u, w")
+    return "".join(parts)
+
+
 def _lpa_sql() -> str:
     parts = [f"WITH {_G},\nl0 AS MATERIALIZED (SELECT v, v AS lab FROM verts)"]
     for i in range(LPA_ITERS):
@@ -701,6 +732,7 @@ walk(v, level) AS (
 )
 SELECT v, MIN(level)::BIGINT AS level FROM walk GROUP BY v ORDER BY v""",
     "bellman_ford": _bellman_ford_sql(),
+    "k_truss4": _k_truss_sql(),
     "edge_support": f"""WITH {_G}, {_TRI},
 epairs AS (SELECT x AS u, y AS w FROM tri UNION ALL SELECT x, z FROM tri UNION ALL SELECT y, z FROM tri)
 SELECT u, w, COUNT(*)::BIGINT AS support FROM epairs GROUP BY u, w ORDER BY u, w""",

@@ -130,7 +130,7 @@ def edge_support(G) -> ray.data.Dataset:
     return counted.map_batches(_Back(), batch_format="pyarrow")
 
 
-def k_truss(G, k: int) -> Graph:
+def k_truss(G, k: int, max_rounds: int | None = None) -> Graph:
     """Maximal subgraph where every edge has ≥ k-2 triangle supports
     (``algorithms/core.py:8-37``). Returns an undirected Graph over the
     ORIGINAL id space (no renumbering; the reference renumbers only because
@@ -142,6 +142,7 @@ def k_truss(G, k: int) -> Graph:
     cur_graph = g
     prev_count = None
     thresh = k - 2
+    rounds = 0
 
     def _keep(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -166,6 +167,9 @@ def k_truss(G, k: int) -> Graph:
         prev_count = count
         cur_graph = Graph(surviving, n=g.n, directed=False, num_parts=g.num_parts)
         cur_graph._ensure_built()
+        rounds += 1
+        if max_rounds is not None and rounds >= max_rounds:
+            return cur_graph
 
 
 def generalized_degree(G) -> ray.data.Dataset:
