@@ -135,9 +135,14 @@ def k_truss(G, k: int, max_rounds: int | None = None) -> Graph:
     (``algorithms/core.py:8-37``). Returns an undirected Graph over the
     ORIGINAL id space (no renumbering; the reference renumbers only because
     its Matrix must stay dense — our universe is already sparse-friendly)."""
-    if k < 3:
-        k = 3
     g = G.to_undirected() if G.directed else G
+    if k < 3:
+        # reference/networkx leave the graph unchanged for k < 3 (every edge
+        # trivially has >= k-2 <= 0 supports); only self-loops are stripped
+        g._ensure_built()
+        return Graph(
+            g.edges_ds(), n=g.n, directed=False, num_parts=g.num_parts, keep_self=False
+        )
     g._ensure_built()
     cur_graph = g
     prev_count = None

@@ -26,6 +26,51 @@ class Unbounded(RuntimeError):
     """Negative cycle reachable from the source (reference ``weighted.py:100``)."""
 
 
+@ray.remote
+def _aux_has_neg_self(aux) -> bool:
+    return bool((aux["out_self_wmin"] < 0).any())
+
+
+def _any_negative_self_loop(G) -> bool:
+    """True iff any vertex has a negative self-loop (reference
+    ``has_negative_diagonal``). O(P) bools to the driver; aux arrays stay put."""
+    if not G.weighted:
+        return False
+    return any(ray.get([_aux_has_neg_self.remote(r) for r in G.aux_refs]))
+
+
+def _raise_if_reached_negative_self_loop(G, state):
+    """Reference parity (``weighted.py:87-100``): a vertex with a negative
+    self-loop that is REACHED (finite dist) means the walk is unbounded.
+    Distributed check: per-part count of finite-dist vertices whose
+    ``out_self_wmin`` is negative."""
+    if not G.weighted:
+        return
+    aux_refs, P = G.aux_refs, G.num_parts
+
+    class _Check:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.filter(
+                pc.and_(
+                    pc.and_(pc.equal(t["kind"], 0), pc.greater_equal(t["v"], 0)),
+                    pc.less(t["f0"], np.inf),
+                )
+            )
+            v = t["v"].to_numpy(zero_copy_only=False)
+            hits = 0
+            for k in np.unique((v % P).astype(np.int64)):
+                sel = (v % P) == k
+                wmin = ray.get(aux_refs[int(k)])["out_self_wmin"]
+                hits += int((wmin[v[sel] // P] < 0).sum())
+            return pa.table({"neg": pa.array([hits], pa.int64())})
+
+    total = sum(r["neg"] for r in state.map_batches(_Check(), batch_format="pyarrow").take_all())
+    if total:
+        raise Unbounded("negative self-loop on a reached vertex")
+
+
 class _BFInit:
     def __init__(self, n, num_parts, source):
         self.n, self.P, self.src = n, num_parts, int(source)
@@ -137,6 +182,7 @@ def bellman_ford_path_length(G, source) -> ray.data.Dataset:
             break
         if it > n:
             raise Unbounded("negative cycle reachable from source")
+    _raise_if_reached_negative_self_loop(G, state)
 
     def _strip(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -290,6 +336,7 @@ def bellman_ford_path(G, source: int, target: int):
             break
         if it > n:
             raise Unbounded("negative cycle reachable from source")
+    _raise_if_reached_negative_self_loop(G, state)
 
     import pyarrow.compute as pc
 
@@ -346,6 +393,8 @@ def negative_edge_cycle(G) -> bool:
     run BF from a virtual super-source (dist 0 everywhere) and watch for
     improvement past n rounds."""
     G._ensure_built()
+    if _any_negative_self_loop(G):
+        return True  # negative diagonal entry IS a negative cycle
     n, P = G.n, G.num_parts
 
     class _AllInit(_BFInit):

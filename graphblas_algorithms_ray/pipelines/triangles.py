@@ -361,7 +361,7 @@ def average_clustering(G, count_zeros: bool = True) -> float:
     df = clustering(G).to_pandas()
     vals = df["clustering"].values
     if not count_zeros:
-        g = G.to_undirected() if G.directed else G
-        deg = g.degrees_ds("out", include_self=False).to_pandas().sort_values("v")
-        vals = vals[np.argsort(df["v"].values)][deg["degree"].values >= 2]
+        # reference divides by c.nvals = nodes with NONZERO clustering
+        # (nodes in >=1 triangle), not nodes with degree >= 2
+        vals = vals[vals > 0]
     return float(vals.mean()) if vals.size else 0.0

@@ -184,7 +184,20 @@ def _build_shard_impl(src, dst, w, path, k, n, num_parts, keep_self, dup, weight
         out_cnt[li] = counts
         out_wsum[li] = row_wsum
         out_self[li] = row_self
-    aux = {"out_cnt": out_cnt, "out_wsum": out_wsum, "out_self": out_self}
+    # min self-loop weight per vertex (inf if none) — Bellman-Ford needs the
+    # diagonal to detect negative self-loops (reference weighted.py has_negative_diagonal)
+    out_self_wmin = np.full(usize, np.inf, dtype=np.float64)
+    self_mask = src == dst if src.size else np.zeros(0, bool)
+    if self_mask.any():
+        sv = src[self_mask]
+        sw = w[self_mask] if w is not None else np.ones(sv.size, np.float64)
+        np.minimum.at(out_self_wmin, sv // num_parts, sw)
+    aux = {
+        "out_cnt": out_cnt,
+        "out_wsum": out_wsum,
+        "out_self": out_self,
+        "out_self_wmin": out_self_wmin,
+    }
     meta = {"m": int(src.size), "self_edges": int(row_self.sum())}
 
     # Checkpoint the deduped shard so edges_ds() is a plain read and the

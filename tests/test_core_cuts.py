@@ -70,3 +70,13 @@ def test_cuts_directed():
     S = set(range(0, 40, 4))
     T = set(range(40)) - S  # nx requires explicit T on directed graphs
     assert cuts.cut_size(g, S) == nx.cut_size(G, S, T)
+
+
+def test_k_truss_k_below_3_identity():
+    # ADVICE r1: k < 3 leaves the graph unchanged (nx parity), pendant kept
+    G = nx.Graph([(0, 1), (1, 2), (0, 2), (2, 3)])
+    g = Graph(list(G.edges()), n=4, directed=False, num_parts=2)
+    for k in (0, 1, 2):
+        ours = _edges_und(k_truss(g, k))
+        theirs = {(min(u, v), max(u, v)) for u, v in nx.k_truss(G, k).edges()}
+        assert ours == theirs, f"k={k}"

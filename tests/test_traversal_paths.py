@@ -117,3 +117,22 @@ def test_bellman_ford_path_reconstruction():
         assert set(got[s]) == set(exp)
         for v in exp:
             assert abs(got[s][v] - exp[v]) < 1e-9
+
+
+def test_negative_self_loop_unbounded():
+    # ADVICE r1: negative self-loop on a reached vertex = negative cycle
+    G = nx.DiGraph()
+    G.add_weighted_edges_from([(0, 1, 1.0), (1, 1, -1.0)])
+    g = Graph.from_networkx(G, weighted=True, num_parts=2)
+    with pytest.raises(Unbounded):
+        bellman_ford_dict(g, 0)
+    assert negative_edge_cycle(g)
+
+
+def test_negative_self_loop_unreached_ok():
+    # the negative self-loop is NOT reachable from source 0 -> finite dists
+    G = nx.DiGraph()
+    G.add_weighted_edges_from([(0, 1, 1.0), (2, 2, -1.0)])
+    g = Graph.from_networkx(G, weighted=True, num_parts=2)
+    assert bellman_ford_dict(g, 0) == {0: 0.0, 1: 1.0}
+    assert negative_edge_cycle(g)  # the cycle still exists globally

@@ -61,3 +61,16 @@ def test_triangle_free():
     g = Graph(list(G.edges()), n=10, directed=False, num_parts=3)
     assert total_triangles(g) == 0
     assert triangles_dict(g) == {v: 0 for v in range(10)}
+
+
+def test_average_clustering_count_zeros_false():
+    # ADVICE r1: average over nodes with NONZERO clustering (triangle + path)
+    G = nx.Graph([(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)])
+    g = Graph(list(G.edges()), n=5, directed=False, num_parts=3)
+    assert (
+        abs(
+            average_clustering(g, count_zeros=False)
+            - nx.average_clustering(G, count_zeros=False)
+        )
+        < 1e-12
+    )
