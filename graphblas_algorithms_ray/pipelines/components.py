@@ -161,20 +161,30 @@ def connected_components(
             .materialize()
         )
 
-    if executor == "actors":
-        from ..stages.bsp_actors import BSPPool
+    if executor in ("actors", "actors_fused"):
+        from ..stages.bsp_actors import BSPPool, StatBelow, fused_min_edges
 
-        pool = BSPPool(P, state)
+        pool = BSPPool.shared(P, state)
         pool.register(
             _CCSpMV(g.csr_refs, P, drop_stale_stats=True),
             _CCCombine(n, P, superstep=0),
         )
+        use_fused = executor == "actors_fused" or g.m >= fused_min_edges()
         try:
             it = start_it
+            stop = StatBelow(STAT_CHANGED, 0.5)  # changed == 0
             while True:
-                stats = pool.superstep()
-                it += 1
-                if stats.get(0, {}).get(STAT_CHANGED, 0.0) == 0.0:
+                if use_fused:
+                    k = 8 if max_iter is None else max(1, min(8, max_iter - it))
+                    hist, done, stopped = pool.run_fused(k, stop, start_step=it)
+                    it += done
+                    changed = hist.get(it - 1, {}).get(STAT_CHANGED, 0.0)
+                else:
+                    stats = pool.superstep()
+                    it += 1
+                    stopped = False
+                    changed = stats.get(0, {}).get(STAT_CHANGED, 0.0)
+                if stopped or changed == 0.0:
                     break
                 if max_iter is not None and it >= max_iter:
                     break

@@ -148,18 +148,30 @@ def label_propagation(G, max_iter: int = 30, chain: int = 5, executor: str = "da
         .map_batches(_LPAInit(n, P), batch_format="pyarrow")
         .materialize()
     )
-    if executor == "actors":
-        from ..stages.bsp_actors import BSPPool
+    if executor in ("actors", "actors_fused"):
+        from ..stages.bsp_actors import BSPPool, StatBelow, fused_min_edges
 
-        pool = BSPPool(P, state)
+        pool = BSPPool.shared(P, state)
         pool.register(
             _LPASpMV(g.csr_refs, P, drop_stale_stats=True),
             _LPACombine(n, P, superstep=0),
         )
+        use_fused = executor == "actors_fused" or g.m >= fused_min_edges()
         try:
-            for _ in range(max_iter):
-                stats = pool.superstep()
-                if stats.get(0, {}).get(STAT_CHANGED, 0.0) == 0.0:
+            it = 0
+            stop = StatBelow(STAT_CHANGED, 0.5)  # changed == 0
+            while it < max_iter:
+                if use_fused:
+                    k = min(8, max_iter - it)
+                    hist, done, stopped = pool.run_fused(k, stop, start_step=it)
+                    it += done
+                    changed = hist.get(it - 1, {}).get(STAT_CHANGED, 0.0)
+                else:
+                    stats = pool.superstep()
+                    it += 1
+                    stopped = False
+                    changed = stats.get(0, {}).get(STAT_CHANGED, 0.0)
+                if stopped or changed == 0.0:
                     break
             final = pool.gather_state().materialize()
             return extract_vertex_values(final, "label", use_int=True)

@@ -161,10 +161,11 @@ class _PRSpMV:
 
 class _PRCombine:
     def __init__(self, aux_refs, n, num_parts, alpha, p_ref, dw_ref, superstep):
-        self.aux_refs = aux_refs
+        self.aux = spmv.CsrCache(aux_refs)
         self.n, self.P, self.alpha = n, num_parts, alpha
         self.p_ref, self.dw_ref = p_ref, dw_ref
         self.superstep = superstep
+        self._p_full = self._dw_full = None
 
     def __call__(self, g: pa.Table) -> pa.Table:
         b = spmv.batch_numpy(g)
@@ -183,15 +184,15 @@ class _PRCombine:
         # all-reduced dangling mass of the PREVIOUS iterate (kind-2 partials)
         dm_prev = float(f0[(kind == 2) & (v == STAT_DANGLING)].sum())
 
-        p_k = (
-            ray.get(self.p_ref)[k :: self.P]
-            if self.p_ref is not None
-            else 1.0 / self.n
-        )
-        dw_k = ray.get(self.dw_ref)[k :: self.P] if self.dw_ref is not None else p_k
+        if self.p_ref is not None and self._p_full is None:
+            self._p_full = ray.get(self.p_ref)
+        if self.dw_ref is not None and self._dw_full is None:
+            self._dw_full = ray.get(self.dw_ref)
+        p_k = self._p_full[k :: self.P] if self._p_full is not None else 1.0 / self.n
+        dw_k = self._dw_full[k :: self.P] if self._dw_full is not None else p_k
         new = acc + self.alpha * dm_prev * dw_k + (1.0 - self.alpha) * p_k
 
-        aux = ray.get(self.aux_refs[k])
+        aux = self.aux.get(k)
         dm_new = float(new[aux["out_wsum"] == 0].sum())
         delta = float(np.abs(new - prev).sum())
         uni = universe(k, self.n, self.P)
@@ -204,6 +205,102 @@ class _PRCombine:
         if stale.any():
             out.append(g.filter(pa.array(stale)))
         return pa.concat_tables(out)
+
+
+class _PRDenseProg:
+    """Dense-accumulator PageRank for the fused mesh (bsp_actors.DensePool).
+
+    Messages worker→part j are dense float64 slabs over part j's universe
+    (n/P entries), pre-accumulated locally with np.bincount over a
+    PRECOMPUTED per-part edge layout (edges sorted by destination part
+    once at setup — no per-step sort, no row format). Combine is a
+    vectorized array sum + the reference's teleport/dangling update
+    (``pagerank_alg.py:83-101``). The dangling-mass scalar rides with the
+    deposits (an all-reduce through the mesh)."""
+
+    def __init__(self, csr_refs, aux_refs, n, P, alpha, p_ref, dw_ref, x0_ref, weighted):
+        self.csr_refs, self.aux_refs = csr_refs, aux_refs
+        self.n, self.P, self.alpha = n, P, alpha
+        self.p_ref, self.dw_ref, self.x0_ref = p_ref, dw_ref, x0_ref
+        self.weighted = weighted
+        self._l = None  # per-worker layout, built once per actor
+
+    def _layout(self, part):
+        if self._l is None:
+            csr = ray.get(self.csr_refs[part])
+            aux = ray.get(self.aux_refs[part])
+            P, n = self.P, self.n
+            dst = csr["dst"]
+            dpart = (dst % P).astype(np.int64)
+            order = np.argsort(dpart, kind="stable")
+            p_full = ray.get(self.p_ref) if self.p_ref is not None else None
+            dw_full = ray.get(self.dw_ref) if self.dw_ref is not None else None
+            p_k = p_full[part::P] if p_full is not None else 1.0 / n
+            dw_k = dw_full[part::P] if dw_full is not None else p_k
+            # edge -> csr-row index, pre-permuted into dst-part order: per
+            # step the seed gather is ONE fancy-index over the row array
+            # (no np.repeat temporary)
+            nrows = csr["srcs"].size
+            edge_row = np.repeat(np.arange(nrows, dtype=np.int64), csr["row_cnt"])[order]
+            self._l = {
+                "srcs_local": csr["srcs"] // P,
+                "row_wsum": csr["row_wsum"],
+                "edge_row": edge_row,
+                "dlocal": (dst // P)[order],
+                "bounds": np.searchsorted(dpart[order], np.arange(P + 1)),
+                "usizes": [universe_size(j, n, P) for j in range(P)],
+                "dangling_mask": aux["out_wsum"] == 0,
+                "weight": csr["weight"][order]
+                if self.weighted and csr.get("weight") is not None
+                else None,
+                "p_k": p_k,
+                "dw_k": dw_k,
+            }
+        return self._l
+
+    def init_state(self, part):
+        usize = universe_size(part, self.n, self.P)
+        if self.x0_ref is not None:
+            return ray.get(self.x0_ref)[part :: self.P].astype(np.float64)
+        return np.full(usize, 1.0 / self.n)
+
+    def make_pieces(self, part, x, gscalars):
+        l = self._layout(part)
+        seed = self.alpha * x[l["srcs_local"]] / l["row_wsum"]
+        ev = seed[l["edge_row"]]
+        if l["weight"] is not None:
+            ev = ev * l["weight"]
+        b = l["bounds"]
+        pieces = []
+        for j in range(self.P):
+            s0, s1 = int(b[j]), int(b[j + 1])
+            if s1 > s0:
+                pieces.append(
+                    np.bincount(
+                        l["dlocal"][s0:s1], weights=ev[s0:s1], minlength=l["usizes"][j]
+                    )
+                )
+            else:
+                pieces.append(None)
+        dm = float(x[l["dangling_mask"]].sum())
+        return pieces, {STAT_DANGLING: dm}
+
+    def combine(self, part, pieces, gscalars, x_prev):
+        l = self._layout(part)
+        usize = universe_size(part, self.n, self.P)
+        acc = np.zeros(usize, dtype=np.float64)
+        for p in pieces:
+            acc += p
+        dm = gscalars.get(STAT_DANGLING, 0.0)
+        new = acc + self.alpha * dm * l["dw_k"] + (1.0 - self.alpha) * l["p_k"]
+        delta = float(np.abs(new - x_prev).sum())
+        return new, {STAT_DELTA: delta}
+
+    def extract(self, part, x):
+        uni = universe(part, self.n, self.P)
+        return pa.table(
+            {"v": pa.array(uni, pa.int64()), "pagerank": pa.array(x, pa.float64())}
+        )
 
 
 def pagerank(
@@ -231,6 +328,38 @@ def pagerank(
     p_ref = _dict_to_dense_ref(personalization, n)
     dw_ref = _dict_to_dense_ref(dangling, n)
     x0_ref = _dict_to_dense_ref(nstart, n)
+    from ..stages.bsp_actors import fused_min_edges as _fused_min_edges
+
+    no_ckpt = not checkpoint_dir and not checkpoint_every and not resume
+    if no_ckpt and (
+        executor == "actors_dense"
+        or (executor == "actors" and G.m >= _fused_min_edges())
+    ):
+        # dense-accumulator fused mesh — the large-graph throughput path
+        from ..stages.bsp_actors import DensePool, StatBelow
+
+        pool = DensePool(
+            P,
+            _PRDenseProg(
+                G.csr_refs, G.aux_refs, n, P, alpha, p_ref, dw_ref, x0_ref, G.weighted
+            ),
+        )
+        it = 0
+        while it < max_iter:
+            k = min(16, max_iter - it)
+            hist, done, stopped = pool.run_fused(
+                k, StatBelow(STAT_DELTA, n * tol), start_step=it
+            )
+            it += done
+            delta = hist.get(it - 1, {}).get(STAT_DELTA, np.inf)
+            LAST_RUN_INFO.update(iterations=it, delta=delta)
+            if stopped or delta < n * tol:
+                return pool.extract()
+        if raise_on_failure:
+            raise ConvergenceFailure(
+                f"pagerank failed to converge in {max_iter} iterations"
+            )
+        return pool.extract()
 
     start_it = 0
     state = None
@@ -248,16 +377,41 @@ def pagerank(
             .materialize()
         )
 
-    if executor == "actors":
+    if executor in ("actors", "actors_fused"):
         # low-latency BSP exchange (stages/bsp_actors.py) running the SAME
         # stage callables; used by the bench/scaling path
-        from ..stages.bsp_actors import BSPPool
+        from ..stages.bsp_actors import BSPPool, StatBelow, fused_min_edges
 
-        pool = BSPPool(P, state)
+        pool = BSPPool.shared(P, state)
         pool.register(
             _PRSpMV(G.csr_refs, P, alpha, G.weighted, drop_stale_stats=True),
             _PRCombine(G.aux_refs, n, P, alpha, p_ref, dw_ref, 0),
         )
+        use_fused = executor == "actors_fused" or G.m >= fused_min_edges()
+        if use_fused and not checkpoint_dir and not checkpoint_every:
+            # fused path: supersteps run entirely inside the actor mesh
+            # (driver pays ONE rpc per chunk, not two per superstep)
+            try:
+                it = start_it
+                while it < max_iter:
+                    k = min(16, max_iter - it)
+                    hist, done, stopped = pool.run_fused(
+                        k, StatBelow(STAT_DELTA, n * tol), start_step=it
+                    )
+                    it += done
+                    delta = hist.get(it - 1, {}).get(STAT_DELTA, np.inf)
+                    LAST_RUN_INFO.update(iterations=it, delta=delta)
+                    if stopped or delta < n * tol:
+                        final = pool.gather_state().materialize()
+                        return extract_vertex_values(final, "pagerank")
+                if raise_on_failure:
+                    raise ConvergenceFailure(
+                        f"pagerank failed to converge in {max_iter} iterations"
+                    )
+                final = pool.gather_state().materialize()
+                return extract_vertex_values(final, "pagerank")
+            finally:
+                pool.shutdown()
         try:
             it = start_it
             while it < max_iter:

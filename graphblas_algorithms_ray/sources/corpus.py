@@ -56,20 +56,23 @@ def url_of(doc_id: int, n_docs: int) -> str:
     return f"https://host{doc_id % n_hosts:04d}.example/p/{doc_id:06d}"
 
 
-def out_degree(doc_ids: np.ndarray) -> np.ndarray:
-    """Zipf-like out-degree, capped 64; doc_id % 20 == 7 → 0 (dangling)."""
+def out_degree(doc_ids: np.ndarray, density: int = 1) -> np.ndarray:
+    """Zipf-like out-degree, capped 64·density; doc_id % 20 == 7 → 0
+    (dangling). ``density`` scales the link count per page (density 1 ≈ 1.9
+    links/page after dedup — the sparse test profile; real web pages carry
+    tens of links, so the scaling bench uses density 16-32)."""
     r = doc_rng(doc_ids, salt=1)
     u = (r >> np.uint64(11)).astype(np.float64) / float(1 << 53)  # [0,1)
     deg = np.minimum(64, np.maximum(1, (1.5 / np.maximum(u, 1e-12) ** 0.6)).astype(np.int64))
-    deg = np.minimum(deg, 64)
+    deg = np.minimum(deg, 64) * int(density)
     deg[doc_ids % 20 == 7] = 0
     return deg
 
 
-def targets_of(doc_id: int, n_docs: int) -> list[int]:
+def targets_of(doc_id: int, n_docs: int, density: int = 1) -> list[int]:
     """Ground-truth out-link targets INCLUDING injected dups/self-links
     (in document order, pre-dedup)."""
-    deg = int(out_degree(np.array([doc_id]))[0])
+    deg = int(out_degree(np.array([doc_id]), density)[0])
     t = [(doc_id * 31 + j * 17) % n_docs for j in range(deg)]
     if doc_id % 10 == 3:  # hub: every 10th page links doc 0
         t.append(0)
@@ -89,9 +92,10 @@ def text_of(doc_id: int) -> str:
     return f"page {doc_id} " + " ".join(toks)
 
 
-def html_of(doc_id: int, n_docs: int, text: str) -> bytes:
+def html_of(doc_id: int, n_docs: int, text: str, density: int = 1) -> bytes:
     anchors = "".join(
-        f'<a href="{url_of(t, n_docs)}">t</a>' for t in targets_of(doc_id, n_docs)
+        f'<a href="{url_of(t, n_docs)}">t</a>'
+        for t in targets_of(doc_id, n_docs, density)
     )
     return (
         f"<html><head><title>d{doc_id}</title></head><body>{text}{anchors}</body></html>"
@@ -106,15 +110,16 @@ def lang_of(doc_ids: np.ndarray) -> np.ndarray:
 
 
 class _GenBatch:
-    def __init__(self, n_docs: int):
+    def __init__(self, n_docs: int, density: int = 1):
         self.n_docs = n_docs
+        self.density = density
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["id"].to_numpy(zero_copy_only=False).astype(np.int64)
         n = self.n_docs
         urls = [url_of(int(i), n) for i in ids]
         texts = [text_of(int(i)) for i in ids]
-        htmls = [html_of(int(i), n, tx) for i, tx in zip(ids, texts)]
+        htmls = [html_of(int(i), n, tx, self.density) for i, tx in zip(ids, texts)]
         ts = (TS0_US + ids * 1_000_000).astype("datetime64[us]")
         return pa.table(
             {
@@ -127,21 +132,22 @@ class _GenBatch:
         )
 
 
-def corpus_dataset(n_docs: int) -> ray.data.Dataset:
+def corpus_dataset(n_docs: int, density: int = 1) -> ray.data.Dataset:
     """Generate the corpus as a streaming Dataset (no materialization)."""
     blocks = max(1, min(n_docs // 2000, 256))
     return ray.data.range(n_docs, override_num_blocks=blocks).map_batches(
-        _GenBatch(n_docs), batch_format="pyarrow", batch_size=4096
+        _GenBatch(n_docs, density), batch_format="pyarrow", batch_size=4096
     )
 
 
-def corpus_parquet(n_docs: int, root: str = "/tmp/gar/corpus") -> str:
+def corpus_parquet(n_docs: int, root: str = "/tmp/gar/corpus", density: int = 1) -> str:
     """Generate (once) and cache the corpus parquet dir for n_docs."""
-    path = os.path.join(root, f"n{n_docs}")
+    suffix = f"n{n_docs}" if density == 1 else f"n{n_docs}_d{density}"
+    path = os.path.join(root, suffix)
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
         os.makedirs(path, exist_ok=True)
-        corpus_dataset(n_docs).write_parquet(path)
+        corpus_dataset(n_docs, density).write_parquet(path)
         with open(done, "w") as f:
             f.write("ok")
     return path

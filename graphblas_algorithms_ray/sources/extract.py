@@ -36,35 +36,86 @@ def canonicalize_url(u: str) -> str | None:
 
 
 class ExtractLinks:
-    """Stateless actor-pool stage: html binary → exploded (src_url, dst_url).
+    """Actor-pool stage: html binary → exploded (src_url, dst_url).
 
-    Regex is compiled once per actor (__init__), applied per batch with
-    pandas string ops; output is deduped per page (document-level dedup —
-    the graph build dedups globally per shard)."""
+    Fully vectorized with Arrow kernels (no Python loop over rows/links):
+    split each page on ``href="`` → flatten the list (dropping each list's
+    head, the pre-first-href prefix) → the href value is the prefix before
+    the next ``"`` (split max_splits=1 + list_element 0; candidates without
+    a closing quote are rejected, matching the ``href="([^"]*)"`` regex) →
+    trim whitespace, cut at ``#``, keep absolute http(s) — all pc string
+    kernels → per-batch (src,dst) hash dedup (each page lives in exactly
+    one batch, so this subsumes the per-page dedup; the graph build dedups
+    globally per shard). Falls back to a per-row decode only for batches
+    with invalid-utf8 html."""
 
     def __init__(self):
-        self.href = _HREF_RE
+        self.href = _HREF_RE  # fallback path only
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        html = batch["html"].map(lambda b: b.decode("utf-8", "replace"))
-        targets = html.str.findall(self.href)
+    def _fallback_rows(self, batch: pa.Table) -> pa.Table:
+        html = [b.decode("utf-8", "replace") for b in batch["html"].to_pylist()]
         src, dst = [], []
-        for u, ts in zip(batch["url"].values, targets.values):
+        for u, h in zip(batch["url"].to_pylist(), html):
             seen = set()
-            for t in ts:
+            for t in self.href.findall(h):
                 c = canonicalize_url(t)
                 if c is not None and c not in seen:
                     seen.add(c)
                     src.append(u)
                     dst.append(c)
-        return pd.DataFrame({"src_url": src, "dst_url": dst})
+        return pa.table(
+            {"src_url": pa.array(src, pa.string()), "dst_url": pa.array(dst, pa.string())}
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.combine_chunks()
+        try:
+            html = pc.cast(batch["html"], pa.string())
+        except pa.ArrowInvalid:
+            return self._fallback_rows(batch)
+        parts = html.combine_chunks() if isinstance(html, pa.ChunkedArray) else html
+        parts = pc.split_pattern(parts, 'href="')
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offs = np.asarray(parts.offsets)
+        values = parts.values
+        row_lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        # drop element 0 of every (non-empty) list: text before the first href
+        keep = np.ones(len(values), dtype=bool)
+        keep[offs[:-1][row_lens > 0]] = False
+        src_i = np.repeat(np.arange(batch.num_rows, dtype=np.int64), row_lens)[keep]
+        vals = values.filter(pa.array(keep))
+        # href value = prefix before the closing quote (must exist)
+        has_quote = pc.not_equal(pc.find_substring(vals, '"'), -1)
+        url = pc.list_element(pc.split_pattern(vals, '"', max_splits=1), 0)
+        # canonicalize: strip → cut fragment → absolute http(s), len > 8
+        url = pc.utf8_trim_whitespace(url)
+        url = pc.list_element(pc.split_pattern(url, "#", max_splits=1), 0)
+        ok = pc.and_(
+            pc.and_(
+                pc.or_(pc.starts_with(url, "http://"), pc.starts_with(url, "https://")),
+                pc.greater(pc.utf8_length(url), 8),
+            ),
+            has_quote,
+        )
+        sel = ok.to_numpy(zero_copy_only=False)
+        pairs = pa.table(
+            {
+                "src_url": pc.take(batch["url"], pa.array(src_i[sel])),
+                "dst_url": url.filter(pa.array(sel)),
+            }
+        )
+        # per-batch (src,dst) dedup — vectorized hash groupby
+        return pairs.group_by(["src_url", "dst_url"]).aggregate([])
 
 
 def extract_links(corpus: ray.data.Dataset, concurrency=(1, 32)) -> ray.data.Dataset:
-    # callable class → actor pool (regex compiled once per actor); autoscales
-    # within `concurrency` so the read stage isn't starved
+    # callable class → actor pool; autoscales within `concurrency` so the
+    # read stage isn't starved
     return corpus.select_columns(["url", "html"]).map_batches(
-        ExtractLinks, batch_format="pandas", batch_size=2048, concurrency=concurrency
+        ExtractLinks, batch_format="pyarrow", batch_size=2048, concurrency=concurrency
     )
 
 

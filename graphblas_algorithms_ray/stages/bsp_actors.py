@@ -66,6 +66,31 @@ class _PartWorker:
         self._combine = combine_stage
         return True
 
+    def set_peers(self, peers):
+        """Actor handles of the whole mesh (index = part), for the fused
+        peer-to-peer exchange."""
+        self.peers = peers
+        self._inbox: dict[int, dict] = {}
+        self._events: dict[int, object] = {}
+        return True
+
+    def _event(self, rnd: int):
+        import asyncio
+
+        ev = self._events.get(rnd)
+        if ev is None:
+            ev = self._events[rnd] = asyncio.Event()
+        return ev
+
+    def _deposit_local(self, rnd: int, src: int, piece, stats: dict):
+        box = self._inbox.setdefault(rnd, {})
+        box[src] = (piece, stats)
+        if len(box) == self.P:
+            self._event(rnd).set()
+
+    async def deposit(self, rnd: int, src: int, piece, stats: dict):
+        self._deposit_local(rnd, src, piece, stats)
+
     def spmv_registered(self):
         return self.spmv(self._spmv)
 
@@ -122,19 +147,150 @@ class _PartWorker:
     def get_state(self) -> pa.Table:
         return self.state if self.state is not None else pa.table({})
 
+    async def run_chunk(self, k: int, stop_fn=None, start_step: int = 0, round_base: int = 0):
+        """Run up to k supersteps entirely inside the peer-to-peer actor mesh.
+
+        Per superstep: spmv locally → split the output by destination part →
+        fire-and-forget deposit() to every peer (small pieces ride inline in
+        the RPC, no plasma round-trip; big pieces spill to plasma
+        automatically) → await all P deposits for the round (async event;
+        deposits carry each sender's previous-combine stats, so the round's
+        inbox IS the stats all-reduce) → if stop_fn(prev global stats)
+        fires, break with the pre-combine state (exactly the driver loop's
+        stop point) → else concat my pieces and combine.
+
+        Returns (stats_history {step: {sid: val}}, steps_completed,
+        stopped_early). Driver cost: ONE rpc per chunk instead of two per
+        superstep; exchange cost O(data), not O(P·data)."""
+        hist: dict[int, dict[int, float]] = {}
+        prev_local: dict[int, float] = {}
+        stopped = False
+        done = 0
+        for i in range(k):
+            rnd = round_base + i
+            if self.state is not None and self.state.num_rows:
+                pieces = _split_by_part(self._spmv(self.state), self.P)
+            else:
+                pieces = [None] * self.P
+            for j, peer in enumerate(self.peers):
+                pc_j = pieces[j] if pieces[j] is not None and pieces[j].num_rows else None
+                if j == self.part:
+                    self._deposit_local(rnd, self.part, pc_j, prev_local)
+                else:
+                    peer.deposit.remote(rnd, self.part, pc_j, prev_local)
+            await self._event(rnd).wait()
+            box = self._inbox.pop(rnd)
+            self._events.pop(rnd, None)
+            gstats_prev: dict[int, float] = {}
+            for _, st in box.values():
+                for sid, val in st.items():
+                    gstats_prev[sid] = gstats_prev.get(sid, 0.0) + val
+            if i > 0:
+                hist[start_step + i - 1] = gstats_prev
+                if stop_fn is not None and stop_fn(gstats_prev):
+                    stopped = True
+                    break
+            mine = [p for p, _ in box.values() if p is not None and p.num_rows]
+            stats_t = self.combine(self._combine, *mine)
+            prev_local = {}
+            for sv, fv in zip(stats_t["v"].to_pylist(), stats_t["f0"].to_pylist()):
+                prev_local[int(sv)] = prev_local.get(int(sv), 0.0) + float(fv)
+            done = i + 1
+        if not stopped and done:
+            # flush: one extra stats-only round to globalize the last stats
+            rnd = round_base + k
+            for j, peer in enumerate(self.peers):
+                if j == self.part:
+                    self._deposit_local(rnd, self.part, None, prev_local)
+                else:
+                    peer.deposit.remote(rnd, self.part, None, prev_local)
+            await self._event(rnd).wait()
+            box = self._inbox.pop(rnd)
+            self._events.pop(rnd, None)
+            gstats_last: dict[int, float] = {}
+            for _, st in box.values():
+                for sid, val in st.items():
+                    gstats_last[sid] = gstats_last.get(sid, 0.0) + val
+            hist[start_step + done - 1] = gstats_last
+        return hist, done, stopped
+
+
+def fused_min_edges() -> int:
+    """Edge-count threshold for the fused P2P path. Below it, the dense
+    driver-orchestrated exchange wins (latency regime: 64 driver RPCs beat
+    P² peer messages); above it, the fused mesh wins (bandwidth regime:
+    O(data) exchange beats the dense mode's O(P·data) read amplification,
+    and the driver leaves the loop). Override via GRAFT_FUSED_MIN_EDGES."""
+    import os
+
+    return int(os.environ.get("GRAFT_FUSED_MIN_EDGES", "4000000"))
+
+
+class StatBelow:
+    """Picklable stop predicate for run_fused: stats[sid] < thresh."""
+
+    def __init__(self, sid: int, thresh: float):
+        self.sid, self.thresh = sid, thresh
+
+    def __call__(self, stats: dict) -> bool:
+        return stats.get(self.sid, float("inf")) < self.thresh
+
 
 class BSPPool:
     """P persistent workers; reuses fixpoint stage callables verbatim."""
 
-    def __init__(self, num_parts: int, init_state: ray.data.Dataset, exchange: str = "dense"):
+    def __init__(
+        self,
+        num_parts: int,
+        init_state: ray.data.Dataset,
+        exchange: str = "dense",
+        _workers: list | None = None,
+    ):
         self.P = num_parts
         self.exchange = exchange  # "dense" (O(P) objects) | "split" (O(P²))
-        self.workers = [
+        self._shared = _workers is not None
+        self.workers = _workers or [
             _PartWorker.remote(k, num_parts) for k in range(num_parts)
         ]
         blocks = init_state.to_arrow_refs()
         ray.get([w.set_state.remote(*blocks) for w in self.workers])
         self._registered = False
+
+    # -- shared-pool cache: actor startup is ~2-4 s per pool; iterative
+    # kernels called back-to-back (bench: pagerank, CC, LPA) reuse one mesh.
+    _shared_workers: dict[int, list] = {}
+    _round_bases: dict[str, int] = {}
+    _peers_wired: set = set()
+
+    @classmethod
+    def shared(cls, num_parts: int, init_state: ray.data.Dataset, exchange: str = "dense"):
+        ws = cls._shared_workers.get(num_parts)
+        fresh = ws is None
+        if fresh:
+            ws = [_PartWorker.remote(k, num_parts) for k in range(num_parts)]
+            cls._shared_workers[num_parts] = ws
+        try:
+            return cls(num_parts, init_state, exchange, _workers=ws)
+        except ray.exceptions.RayActorError:
+            # stale mesh from a previous ray session — rebuild
+            cls._peers_wired.discard(cls._mesh_key(ws))
+            cls._round_bases.pop(cls._mesh_key(ws), None)
+            ws = [_PartWorker.remote(k, num_parts) for k in range(num_parts)]
+            cls._shared_workers[num_parts] = ws
+            return cls(num_parts, init_state, exchange, _workers=ws)
+
+    @staticmethod
+    def _mesh_key(workers) -> str:
+        return workers[0]._actor_id.hex()
+
+    @classmethod
+    def shutdown_shared(cls):
+        for ws in cls._shared_workers.values():
+            for w in ws:
+                ray.kill(w)
+        cls._shared_workers.clear()
+        cls._round_bases.clear()
+        cls._peers_wired.clear()
 
     def register(self, spmv_stage, combine_stage):
         ray.get(
@@ -181,11 +337,239 @@ class BSPPool:
                 d[int(sid)] = d.get(int(sid), 0.0) + float(val)
         return stats
 
+    def run_fused(self, k: int, stop_fn=None, start_step: int = 0):
+        """k supersteps fully inside the actor mesh (see _PartWorker.run_chunk).
+        Requires register(). Returns (stats_history, steps_done, stopped)."""
+        assert self._registered, "call register() first"
+        key = self._mesh_key(self.workers)
+        if key not in BSPPool._peers_wired:
+            ray.get([w.set_peers.remote(self.workers) for w in self.workers])
+            BSPPool._peers_wired.add(key)
+        base = BSPPool._round_bases.get(key, 0)
+        BSPPool._round_bases[key] = base + k + 1  # +1: stats-flush round
+        res = ray.get(
+            [
+                w.run_chunk.remote(k, stop_fn, start_step, base)
+                for w in self.workers
+            ]
+        )
+        # all workers see identical global stats/stop decisions; take worker 0's
+        hist, done, stopped = res[0]
+        return hist, done, stopped
+
     def gather_state(self) -> ray.data.Dataset:
         refs = [w.get_state.remote() for w in self.workers]
         return ray.data.from_arrow_refs(refs)
 
     def shutdown(self):
+        if self._shared:
+            return  # shared mesh outlives the algorithm call
         for w in self.workers:
             ray.kill(w)
         self.workers = []
+
+# ---------------------------------------------------------------------------
+# Dense-accumulator fused mesh (multi-part workers)
+# ---------------------------------------------------------------------------
+# For kernels whose additive monoid accumulates into dense per-part arrays
+# (plus_*: PageRank), the exchange ships dense float64 slabs over each
+# part's universe (n/P entries) instead of (v, f0) rows. The mesh is sized
+# to the CPU budget — A = num_cpus actors, each OWNING P/A of the fixed P
+# partitions (part p lives on actor p % A) — exactly how a fixed partition
+# count maps onto a varying cluster size. Contributions from an actor's
+# own parts to the same destination part are PRE-SUMMED locally before the
+# exchange (hierarchical combine), so total volume per superstep is
+# A·(n/P)·8·P/A… i.e. n·8 per destination actor = A·n·8 overall — it
+# SHRINKS with smaller clusters instead of staying at P·n·8.
+#
+# The kernel `prog` contract (picklable):
+#   init_state(part) -> x0 ndarray                (universe-aligned)
+#   make_pieces(part, x, gscalars) -> (list[P ndarray|None], scalars dict)
+#   combine(part, pieces, gscalars, x_prev) -> (x_new, stats dict)
+#   extract(part, x) -> pa.Table                  (final vertex table)
+# Scalars ride with every deposit (an all-reduce through the mesh); global
+# stats of superstep t become visible at t+1 (one-round-late stop, exactly
+# the driver loop's stop point), with a final stats-flush round.
+
+
+@ray.remote
+class _DenseWorker:
+    def __init__(self, aid: int, num_actors: int, num_parts: int):
+        self.a = aid
+        self.A = num_actors
+        self.P = num_parts
+        self.parts = list(range(aid, num_parts, num_actors))
+        self.x: dict[int, np.ndarray] = {}
+        self._inbox: dict[int, dict] = {}
+        self._events: dict[int, object] = {}
+
+    def set_prog(self, prog):
+        self.prog = prog
+        self.x = {}
+        return True
+
+    def set_peers(self, peers):
+        self.peers = peers
+        return True
+
+    def _event(self, rnd: int):
+        import asyncio
+
+        ev = self._events.get(rnd)
+        if ev is None:
+            ev = self._events[rnd] = asyncio.Event()
+        return ev
+
+    def _dep(self, rnd: int, src: int, slabs, payload: dict):
+        box = self._inbox.setdefault(rnd, {})
+        box[src] = (slabs, payload)
+        if len(box) == self.A:
+            self._event(rnd).set()
+
+    async def deposit(self, rnd: int, src: int, slabs, payload: dict):
+        self._dep(rnd, src, slabs, payload)
+
+    async def run_chunk(self, k: int, stop_fn=None, start_step: int = 0, round_base: int = 0):
+        prog = self.prog
+        if not self.x:
+            self.x = {p: prog.init_state(p) for p in self.parts}
+        hist: dict[int, dict[int, float]] = {}
+        prev_stats: dict[int, float] = {}
+        stopped = False
+        done = 0
+        gscalars: dict[int, float] = {}
+        for i in range(k):
+            rnd = round_base + i
+            # per owned part: dense pieces for every destination part,
+            # pre-summed across owned parts per destination
+            dest: dict[int, np.ndarray] = {}
+            scal: dict[int, float] = {}
+            for p in self.parts:
+                pieces, sc = prog.make_pieces(p, self.x[p], gscalars)
+                for sid, v in sc.items():
+                    scal[sid] = scal.get(sid, 0.0) + v
+                for j, arr in enumerate(pieces):
+                    if arr is None:
+                        continue
+                    cur = dest.get(j)
+                    if cur is None:
+                        dest[j] = arr
+                    else:
+                        cur += arr
+            payload = {("sc", sid): v for sid, v in scal.items()}
+            payload.update({("st", sid): v for sid, v in prev_stats.items()})
+            for a2, peer in enumerate(self.peers):
+                slabs = {j: dest[j] for j in range(a2, self.P, self.A) if j in dest}
+                if a2 == self.a:
+                    self._dep(rnd, self.a, slabs, payload)
+                else:
+                    peer.deposit.remote(rnd, self.a, slabs, payload)
+            await self._event(rnd).wait()
+            box = self._inbox.pop(rnd)
+            self._events.pop(rnd, None)
+            gall: dict = {}
+            for _, st in box.values():
+                for key, val in st.items():
+                    gall[key] = gall.get(key, 0.0) + val
+            gscalars = {key[1]: v for key, v in gall.items() if key[0] == "sc"}
+            gstats_prev = {key[1]: v for key, v in gall.items() if key[0] == "st"}
+            if i > 0:
+                hist[start_step + i - 1] = gstats_prev
+                if stop_fn is not None and stop_fn(gstats_prev):
+                    stopped = True
+                    break
+            prev_stats = {}
+            for p in self.parts:
+                incoming = [sl[p] for sl, _ in box.values() if p in sl]
+                self.x[p], st_p = prog.combine(p, incoming, gscalars, self.x[p])
+                for sid, v in st_p.items():
+                    prev_stats[sid] = prev_stats.get(sid, 0.0) + v
+            done = i + 1
+        if not stopped and done:
+            rnd = round_base + k
+            payload = {("st", sid): v for sid, v in prev_stats.items()}
+            for a2, peer in enumerate(self.peers):
+                if a2 == self.a:
+                    self._dep(rnd, self.a, None, payload)
+                else:
+                    peer.deposit.remote(rnd, self.a, None, payload)
+            await self._event(rnd).wait()
+            box = self._inbox.pop(rnd)
+            self._events.pop(rnd, None)
+            gstats_last: dict[int, float] = {}
+            for _, st in box.values():
+                for key, val in st.items():
+                    if key[0] == "st":
+                        gstats_last[key[1]] = gstats_last.get(key[1], 0.0) + val
+            hist[start_step + done - 1] = gstats_last
+        return hist, done, stopped
+
+    def extract(self) -> pa.Table:
+        tabs = [self.prog.extract(p, self.x[p]) for p in self.parts if self.x[p] is not None]
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return pa.table({})
+        return pa.concat_tables(live)
+
+
+class DensePool:
+    """Driver for the dense fused mesh. A = num_actors defaults to the Ray
+    CPU budget (GRAFT_DENSE_ACTORS overrides); P stays the fixed partition
+    count. Meshes are cached per (P, A) — actor startup is paid once."""
+
+    _meshes: dict[tuple, list] = {}
+    _bases: dict[tuple, int] = {}
+
+    def __init__(self, num_parts: int, prog, num_actors: int | None = None):
+        import os
+
+        if num_actors is None:
+            env = os.environ.get("GRAFT_DENSE_ACTORS")
+            if env:
+                num_actors = int(env)
+            else:
+                num_actors = int(ray.cluster_resources().get("CPU", num_parts))
+        self.P = num_parts
+        self.A = max(1, min(num_parts, num_actors))
+        key = (num_parts, self.A)
+        ws = DensePool._meshes.get(key)
+        fresh = ws is None
+        if fresh:
+            ws = [_DenseWorker.remote(a, self.A, num_parts) for a in range(self.A)]
+            DensePool._meshes[key] = ws
+        self.workers = ws
+        try:
+            ray.get([w.set_prog.remote(prog) for w in self.workers])
+        except ray.exceptions.RayActorError:
+            ws = [_DenseWorker.remote(a, self.A, num_parts) for a in range(self.A)]
+            DensePool._meshes[key] = ws
+            DensePool._bases.pop(key, None)
+            self.workers = ws
+            fresh = True
+            ray.get([w.set_prog.remote(prog) for w in self.workers])
+        if fresh:
+            ray.get([w.set_peers.remote(self.workers) for w in self.workers])
+        self._key = key
+
+    def run_fused(self, k: int, stop_fn=None, start_step: int = 0):
+        base = DensePool._bases.get(self._key, 0)
+        DensePool._bases[self._key] = base + k + 1
+        res = ray.get(
+            [
+                w.run_chunk.remote(k, stop_fn, start_step, base)
+                for w in self.workers
+            ]
+        )
+        return res[0]
+
+    def extract(self) -> ray.data.Dataset:
+        refs = [w.extract.remote() for w in self.workers]
+        return ray.data.from_arrow_refs(refs)
+
+    @classmethod
+    def shutdown_all(cls):
+        for ws in cls._meshes.values():
+            for w in ws:
+                ray.kill(w)
+        cls._meshes.clear()
+        cls._bases.clear()

@@ -33,3 +33,53 @@ def test_lpa_executor_parity():
     assert label_propagation_dict(g, max_iter=10) == label_propagation_dict(
         g, max_iter=10, executor="actors"
     )
+
+
+def test_fused_executor_parity():
+    # the fused in-actor peer-to-peer chunk loop (run_fused) must match the
+    # Dataset executor exactly, including mid-chunk convergence stops
+    G = nx.gnp_random_graph(120, 0.05, seed=23, directed=True)
+    g = Graph.from_networkx(G, num_parts=4)
+    a = pagerank_dict(g)
+    b = pagerank_dict(g, executor="actors_fused")
+    assert set(a) == set(b)
+    np.testing.assert_allclose(
+        [a[v] for v in sorted(a)], [b[v] for v in sorted(b)], atol=1e-14, rtol=0
+    )
+    G2 = nx.gnp_random_graph(150, 0.015, seed=24)
+    g2 = Graph(list(G2.edges()), n=150, directed=False, num_parts=4)
+    assert components_dict(g2) == components_dict(g2, executor="actors_fused")
+    G3 = nx.ring_of_cliques(5, 4)
+    g3 = Graph(list(G3.edges()), n=20, directed=False, num_parts=3)
+    assert label_propagation_dict(g3, max_iter=10) == label_propagation_dict(
+        g3, max_iter=10, executor="actors_fused"
+    )
+
+
+def test_dense_executor_parity():
+    # dense-accumulator fused mesh (DensePool): same results as the Dataset
+    # executor to float-reassociation tolerance, on plain / weighted /
+    # personalized / nstart / dangling variants
+    import numpy as np
+
+    G = nx.gnp_random_graph(150, 0.06, seed=31, directed=True)
+    g = Graph.from_networkx(G, num_parts=4)
+    a = pagerank_dict(g)
+    b = pagerank_dict(g, executor="actors_dense")
+    np.testing.assert_allclose(
+        [a[v] for v in sorted(a)], [b[v] for v in sorted(b)], atol=1e-12, rtol=0
+    )
+    rng = np.random.RandomState(3)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.randint(1, 5))
+    gw = Graph.from_networkx(G, weighted=True, num_parts=4)
+    pers = {0: 1.0, 3: 2.0, 17: 1.0}
+    nstart = {v: 1.0 + (v % 3) for v in range(150)}
+    dang = {v: 1.0 for v in range(150)}
+    aw = pagerank_dict(gw, personalization=pers, nstart=nstart, dangling=dang)
+    bw = pagerank_dict(
+        gw, personalization=pers, nstart=nstart, dangling=dang, executor="actors_dense"
+    )
+    np.testing.assert_allclose(
+        [aw[v] for v in sorted(aw)], [bw[v] for v in sorted(bw)], atol=1e-12, rtol=0
+    )
