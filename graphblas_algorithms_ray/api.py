@@ -308,6 +308,12 @@ def q_edge_support(sf_dir):
     return edge_support(lineitem_graph(sf_dir, directed=False))
 
 
+def q_generalized_degree(sf_dir):
+    from .pipelines.core import generalized_degree
+
+    return generalized_degree(lineitem_graph(sf_dir, directed=False))
+
+
 K_TRUSS_ROUNDS = 8
 
 
@@ -477,6 +483,7 @@ QUERIES = {
     "bfs_levels": q_bfs_levels,
     "bellman_ford": q_bellman_ford,
     "edge_support": q_edge_support,
+    "generalized_degree": q_generalized_degree,
     "k_truss4": q_k_truss,
     "hits": q_hits,
     "eigenvector_centrality": q_eigenvector,
@@ -736,6 +743,13 @@ SELECT v, MIN(level)::BIGINT AS level FROM walk GROUP BY v ORDER BY v""",
     "edge_support": f"""WITH {_G}, {_TRI},
 epairs AS (SELECT x AS u, y AS w FROM tri UNION ALL SELECT x, z FROM tri UNION ALL SELECT y, z FROM tri)
 SELECT u, w, COUNT(*)::BIGINT AS support FROM epairs GROUP BY u, w ORDER BY u, w""",
+    "generalized_degree": f"""WITH {_G}, {_TRI},
+epairs AS (SELECT x AS u, y AS w FROM tri UNION ALL SELECT x, z FROM tri UNION ALL SELECT y, z FROM tri),
+sup AS MATERIALIZED (SELECT u, w, COUNT(*)::BIGINT AS s FROM epairs GROUP BY u, w),
+es AS MATERIALIZED (SELECT ue.u, ue.w, COALESCE(sup.s, 0)::BIGINT AS s
+  FROM uedges ue LEFT JOIN sup ON sup.u = ue.u AND sup.w = ue.w),
+inc AS (SELECT u AS v, s FROM es UNION ALL SELECT w AS v, s FROM es)
+SELECT v, s AS tri_count, COUNT(*)::BIGINT AS n_edges FROM inc GROUP BY v, s ORDER BY v, tri_count""",
     "laplacian": f"""WITH {_G}
 SELECT verts.v AS row, verts.v AS col, COALESCE(o.d, 0)::DOUBLE AS value
 FROM verts LEFT JOIN (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src) o USING (v)

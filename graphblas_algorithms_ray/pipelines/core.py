@@ -177,48 +177,80 @@ def k_truss(G, k: int, max_rounds: int | None = None) -> Graph:
             return cur_graph
 
 
-def generalized_degree(G) -> ray.data.Dataset:
-    """(v, tri_count, n_edges): per node, how many incident edges
-    participate in exactly tri_count triangles
-    (``algorithms/cluster.py:285-310``). Edges with 0 triangles included."""
-    g = G.to_undirected() if G.directed else G
-    g._ensure_built()
-    sup = edge_support(g).materialize()
-    # edges with zero support are absent from sup; recover them by probing
-    # all canonical edges against the support table (small at test scale;
-    # at web scale this is a partition-aligned left join)
-    sup_tbl = [t for t in ray.get(sup.to_arrow_refs()) if t.num_rows]
-    smap = {}
-    for t in sup_tbl:
-        for u, w, s in zip(
-            t["u"].to_pylist(), t["w"].to_pylist(), t["support"].to_pylist()
-        ):
-            smap[(u, w)] = s
-    def _canon(t: pa.Table) -> pa.Table:
+class _CanonKey:
+    """Canonical (u<w) edges with a packed int64 join key u*n+w.
+    Key packing assumes n*n < 2**63 (n < 3e9) — same documented caveat as
+    the graph-build dedup."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy(zero_copy_only=False)
         d = t["dst"].to_numpy(zero_copy_only=False)
         m = s < d
-        return pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])})
-
-    rows = g.edges_ds().map_batches(_canon, batch_format="pyarrow").take_all()
-    from collections import Counter
-
-    per_node: Counter = Counter()
-    for r in rows:
-        u, w = int(r["src"]), int(r["dst"])
-        s = smap.get((u, w), 0)
-        per_node[(u, s)] += 1
-        per_node[(w, s)] += 1
-    import pandas as pd
-
-    if not per_node:
-        return ray.data.from_arrow(
-            pa.table(
-                {"v": pa.array([], pa.int64()), "tri_count": pa.array([], pa.int64()), "n_edges": pa.array([], pa.int64())}
-            )
+        s, d = s[m], d[m]
+        return pa.table(
+            {
+                "u": pa.array(s),
+                "w": pa.array(d),
+                "k": pa.array(s * np.int64(self.n) + d),
+            }
         )
-    df = pd.DataFrame(
-        [(v, s, c) for (v, s), c in sorted(per_node.items())],
-        columns=["v", "tri_count", "n_edges"],
+
+
+class _GenDegPartial:
+    """Per-batch combiner: incident (v, support) pair counts."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = t["u"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        s = pc.fill_null(t["support"], 0).to_numpy(zero_copy_only=False)
+        v = np.concatenate([u, w])
+        ss = np.concatenate([s, s]).astype(np.int64)
+        key = np.stack([v, ss], axis=1)
+        ukey, counts = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "v": pa.array(ukey[:, 0], pa.int64()),
+                "tri_count": pa.array(ukey[:, 1], pa.int64()),
+                "n_edges": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def generalized_degree(G) -> ray.data.Dataset:
+    """(v, tri_count, n_edges): per node, how many incident edges
+    participate in exactly tri_count triangles
+    (``algorithms/cluster.py:285-310``). Edges with 0 triangles included.
+
+    Fully distributed: canonical edges LEFT-JOIN edge_support via the
+    bucketed hash join (missing → support 0), per-batch (v, support)
+    pre-combine, then one small groupby-sum."""
+    g = G.to_undirected() if G.directed else G
+    g._ensure_built()
+    n = g.n
+    from ..stages.hashjoin import lookup_join
+
+    sup_keyed = edge_support(g).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(
+                    t["u"].to_numpy(zero_copy_only=False) * np.int64(n)
+                    + t["w"].to_numpy(zero_copy_only=False)
+                ),
+                "support": t["support"],
+            }
+        ),
+        batch_format="pyarrow",
     )
-    return ray.data.from_pandas(df)
+    fact = g.edges_ds().map_batches(_CanonKey(n), batch_format="pyarrow")
+    joined = lookup_join(
+        fact, "k", sup_keyed, "k", "support", "support", drop_missing=False
+    )
+    partial = joined.map_batches(_GenDegPartial(), batch_format="pyarrow")
+    return partial.groupby(["v", "tri_count"]).aggregate(
+        ray.data.aggregate.Sum("n_edges", alias_name="n_edges")
+    )

@@ -10,10 +10,11 @@ dedup stack (SURVEY.md extension ops):
     candidate; pigeonhole covers distance ≤ 3 across 4 chunks).
 
 Everything per-batch vectorized; the only shuffles are the band-bucket
-groupby (rows = docs × bands) and the candidate-pair dedup groupby. The
-exact-Jaccard verify broadcasts the shingle sets when they fit (ray.put
-once); at 1e12-doc scale swap for a bucketed hash join on doc_id
-(stages.hashjoin) — the pipeline shape is unchanged.
+groupby (rows = docs × bands, shingle sets riding along so verification
+happens INSIDE the buckets) and the pair-dedup groupby. Buckets emit
+verified STAR edges (member vs bucket-min hub) — O(bucket) rows, never
+C(s,2) — and the verified-pair Dataset feeds the engine's CC kernel
+directly. No driver-side materialization anywhere in the path.
 """
 
 from __future__ import annotations
@@ -75,73 +76,83 @@ class _MinHash:
 
 
 class _BandRows:
+    """doc → one row per band: (band, bh, doc_id, shingles). Shingle sets
+    ride WITH the band rows, so exact verification happens inside the
+    band-bucket groups — no driver-side shingle map, no second join.
+    Volume = bands × Σ|shingles|, linear and fully distributed."""
+
     def __init__(self, bands: int, rows: int):
         self.bands, self.rows = bands, rows
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         sig = np.array(t["sig"].to_pylist(), dtype=np.uint64)
-        out_b, out_h, out_d = [], [], []
+        shingles = t["shingles"]
+        parts = []
         with np.errstate(over="ignore"):
             for b in range(self.bands):
                 chunk = sig[:, b * self.rows : (b + 1) * self.rows]
                 h = np.zeros(len(ids), dtype=np.uint64)
                 for j in range(chunk.shape[1]):
                     h = h * np.uint64(1099511628211) + chunk[:, j]
-                out_b.append(np.full(len(ids), b, np.int32))
-                out_h.append(h.astype(np.int64))
-                out_d.append(ids)
-        return pa.table(
-            {
-                "band": pa.array(np.concatenate(out_b)),
-                "bh": pa.array(np.concatenate(out_h)),
-                "doc_id": pa.array(np.concatenate(out_d)),
-            }
-        )
+                parts.append(
+                    pa.table(
+                        {
+                            "band": pa.array(np.full(len(ids), b, np.int32)),
+                            "bh": pa.array(h.astype(np.int64)),
+                            "doc_id": pa.array(ids),
+                            "shingles": shingles,
+                        }
+                    )
+                )
+        return pa.concat_tables(parts)
 
 
-class _BucketPairs:
-    def __call__(self, g: pa.Table) -> pa.Table:
-        ids = np.unique(g["doc_id"].to_numpy(zero_copy_only=False))
-        if ids.size < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        ii, jj = np.triu_indices(ids.size, k=1)
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+class _BucketStarVerify:
+    """One LSH bucket → exact-Jaccard-verified STAR edges (min-doc hub).
 
+    Emitting all C(s,2) pairs per bucket is quadratic in bucket size — one
+    boilerplate-heavy bucket (1000 identical docs) explodes. The star
+    (every member verified against the bucket's min doc) is O(s) rows and
+    is sufficient for the connected-components grouping; members similar
+    to each other but not to the hub are still paired in the bands where
+    the hub does not collide (LSH's usual probabilistic recall)."""
 
-class _VerifyJaccard:
-    def __init__(self, shingle_ref, threshold):
-        self.shingle_ref = shingle_ref
+    def __init__(self, threshold):
         self.threshold = threshold
-        self._sh = None
 
     def __call__(self, g: pa.Table) -> pa.Table:
-        # group = one (a,b) candidate pair possibly seen in several bands
-        if self._sh is None:
-            self._sh = ray.get(self.shingle_ref)
-        a = int(g["a"][0].as_py())
-        b = int(g["b"][0].as_py())
-        sa, sb = self._sh.get(a), self._sh.get(b)
-        if sa is None or sb is None:
-            j = 0.0
-        else:
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            j = inter / (sa.size + sb.size - inter) if (sa.size + sb.size - inter) else 0.0
-        if j >= self.threshold:
-            return pa.table(
-                {
-                    "a": pa.array([a], pa.int64()),
-                    "b": pa.array([b], pa.int64()),
-                    "jaccard": pa.array([j], pa.float64()),
-                }
-            )
-        return pa.table(
+        empty = pa.table(
             {
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
                 "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        uniq, first_idx = np.unique(ids, return_index=True)
+        if uniq.size < 2:
+            return empty
+        shingles = g["shingles"]
+        hub_pos = int(first_idx[0])  # uniq is sorted → index of min doc_id
+        hub = np.asarray(shingles[hub_pos].as_py(), dtype=np.int64)
+        out_a, out_b, out_j = [], [], []
+        for u, ix in zip(uniq[1:], first_idx[1:]):
+            sb = np.asarray(shingles[int(ix)].as_py(), dtype=np.int64)
+            inter = np.intersect1d(hub, sb, assume_unique=True).size
+            denom = hub.size + sb.size - inter
+            j = inter / denom if denom else 0.0
+            if j >= self.threshold:
+                out_a.append(int(uniq[0]))
+                out_b.append(int(u))
+                out_j.append(j)
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
             }
         )
 
@@ -162,43 +173,31 @@ def minhash_near_duplicates(
     rows = num_perm // bands
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
         _MinHash(num_perm, shingle_k), batch_format="pyarrow", batch_size=1024
-    ).materialize()
+    )
 
-    # broadcast shingle sets for exact verification (scale note in module doc)
-    shingle_map = {}
-    for ref in sigs.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows == 0:
-            continue
-        for did, sh in zip(t["doc_id"].to_pylist(), t["shingles"].to_pylist()):
-            shingle_map[int(did)] = np.asarray(sh, dtype=np.int64)
-    shingle_ref = ray.put(shingle_map)
-
-    cand = (
+    # band-bucket groupby (the one shuffle) → verified star edges inside
+    # each bucket → (a, b) dedup across bands. No driver-side state.
+    pairs = (
         sigs.map_batches(_BandRows(bands, rows), batch_format="pyarrow")
         .groupby(["band", "bh"])
-        .map_groups(named(_BucketPairs()), batch_format="pyarrow")
-    )
-    pairs = (
-        cand.groupby(["a", "b"])
-        .map_groups(named(_VerifyJaccard(shingle_ref, threshold)), batch_format="pyarrow")
+        .map_groups(named(_BucketStarVerify(threshold)), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(named(_FirstRow()), batch_format="pyarrow")
         .materialize()
     )
 
-    # near-dup clusters: CC over the pair graph in doc-id space
+    # near-dup clusters: CC over the verified-pair graph in doc-id space —
+    # the pairs Dataset feeds Graph() directly (stays distributed)
     from ..state.graph import Graph
     from .components import connected_components
 
     n_docs = int(docs.max("doc_id") or 0) + 1
-    edge_tbls = [t for t in ray.get(pairs.to_arrow_refs()) if t.num_rows]
-    if edge_tbls:
-        et = pa.concat_tables(edge_tbls)
-        g = Graph(
-            pa.table({"src": et["a"], "dst": et["b"]}),
-            n=n_docs,
-            directed=False,
-            num_parts=4,
+    if pairs.count():
+        edges = pairs.map_batches(
+            lambda t: pa.table({"src": t["a"], "dst": t["b"]}),
+            batch_format="pyarrow",
         )
+        g = Graph(edges, n=n_docs, directed=False, num_parts=4)
         groups = connected_components(g).map_batches(
             lambda t: pa.table({"doc_id": t["v"], "group": t["component"]}),
             batch_format="pyarrow",
@@ -276,32 +275,77 @@ def simhash_near_duplicates(
         )
 
     class _HamPairs:
-        def __init__(self, maxh):
-            self.maxh = maxh
+        """Identical fingerprints collapse to a star around the min doc
+        (exact dups are the hot case — O(group), never C(s,2)); the cross
+        products run only over DISTINCT fingerprints, capped at `cap`
+        lowest doc-ids per bucket (deterministic; a 16-bit chunk shared by
+        thousands of distinct docs is a degenerate bucket whose pairs the
+        other 3 chunks still cover probabilistically)."""
+
+        def __init__(self, maxh, cap=512):
+            self.maxh, self.cap = maxh, cap
 
         def __call__(self, g: pa.Table) -> pa.Table:
             ids = g["doc_id"].to_numpy(zero_copy_only=False)
             fp = g["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
             ids, ix = np.unique(ids, return_index=True)
             fp = fp[ix]
-            if ids.size < 2:
-                return pa.table(
-                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
-                )
-            ii, jj = np.triu_indices(ids.size, k=1)
-            x = fp[ii] ^ fp[jj]
-            ham = np.zeros(x.size, dtype=np.int64)
-            for _ in range(64):
-                ham += (x & np.uint64(1)).astype(np.int64)
-                x >>= np.uint64(1)
-            keep = ham <= self.maxh
-            return pa.table(
-                {
-                    "a": pa.array(ids[ii][keep]),
-                    "b": pa.array(ids[jj][keep]),
-                    "hamming": pa.array(ham[keep]),
-                }
+            empty = pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
             )
+            if ids.size < 2:
+                return empty
+            out = []
+            # star edges within identical-fingerprint groups (hamming 0)
+            order = np.argsort(fp, kind="stable")
+            fps_s, ids_s = fp[order], ids[order]
+            grp_start = np.ones(fps_s.size, dtype=bool)
+            grp_start[1:] = fps_s[1:] != fps_s[:-1]
+            gid = np.cumsum(grp_start) - 1
+            # min doc id per group = first in (fp, id) lexsort
+            order2 = np.lexsort((ids_s, gid))
+            ids2, gid2 = ids_s[order2], gid[order2]
+            first = np.ones(ids2.size, dtype=bool)
+            first[1:] = gid2[1:] != gid2[:-1]
+            hubs = ids2[first]
+            star_mask = ~first
+            if star_mask.any():
+                out.append(
+                    pa.table(
+                        {
+                            "a": pa.array(hubs[gid2[star_mask]], pa.int64()),
+                            "b": pa.array(ids2[star_mask], pa.int64()),
+                            "hamming": pa.array(np.zeros(int(star_mask.sum()), np.int64)),
+                        }
+                    )
+                )
+            # cross pairs over distinct fingerprints (capped, lowest ids)
+            rep_ids, rep_fp = hubs, fps_s[order2][first]
+            if rep_ids.size > self.cap:
+                sel = np.argsort(rep_ids, kind="stable")[: self.cap]
+                rep_ids, rep_fp = rep_ids[sel], rep_fp[sel]
+            if rep_ids.size >= 2:
+                ii, jj = np.triu_indices(rep_ids.size, k=1)
+                x = rep_fp[ii] ^ rep_fp[jj]
+                ham = np.zeros(x.size, dtype=np.int64)
+                for _ in range(64):
+                    ham += (x & np.uint64(1)).astype(np.int64)
+                    x >>= np.uint64(1)
+                keep = (ham <= self.maxh) & (ham > 0)
+                a, b = rep_ids[ii][keep], rep_ids[jj][keep]
+                lo, hi2 = np.minimum(a, b), np.maximum(a, b)
+                out.append(
+                    pa.table(
+                        {
+                            "a": pa.array(lo, pa.int64()),
+                            "b": pa.array(hi2, pa.int64()),
+                            "hamming": pa.array(ham[keep]),
+                        }
+                    )
+                )
+            if not out:
+                return empty
+            return pa.concat_tables(out)
 
     pairs = (
         fps.map_batches(_chunks, batch_format="pyarrow")

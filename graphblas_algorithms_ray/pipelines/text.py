@@ -65,28 +65,29 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def dedup_keep_first(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """The actual dedup: keep exactly one row (min doc_id) per distinct text."""
-    keepers = exact_dedup(docs)
-    keep_ids = {int(r["keeper"]) for r in keepers.select_columns(["keeper"]).take_all()}
-    # broadcast keeper set (ids are a small fraction at corpus scale after
-    # dedup of heavy dup distributions; for 1e12 rows use a bucketed
-    # semi-join via stages.hashjoin instead)
-    import ray as _ray
+    """The actual dedup: keep exactly one row (min doc_id) per distinct text.
 
-    ref = _ray.put(np.array(sorted(keep_ids), dtype=np.int64))
+    Bucketed SEMI-JOIN of the docs against the keeper-id table
+    (stages.hashjoin.lookup_join with drop_missing): both sides stay
+    distributed — at 1e12 docs the keeper set is ~all unique docs and can
+    never be collected to the driver."""
+    from ..stages.hashjoin import lookup_join
 
-    class _Keep:
-        def __init__(self):
-            self._ids = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._ids is None:
-                self._ids = _ray.get(ref)
-            d = t["doc_id"].to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(self._ids, d), self._ids.size - 1)
-            return t.filter(pa.array(self._ids[pos] == d))
-
-    return docs.map_batches(_Keep(), batch_format="pyarrow")
+    keepers = exact_dedup(docs).map_batches(
+        lambda t: pa.table(
+            {
+                "keeper": t["keeper"],
+                "__one": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = lookup_join(
+        docs, "doc_id", keepers, "keeper", "__one", "__m", drop_missing=True
+    )
+    return joined.map_batches(
+        lambda t: t.drop_columns(["__m"]), batch_format="pyarrow"
+    )
 
 
 class _TokenStats:

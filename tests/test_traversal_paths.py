@@ -136,3 +136,25 @@ def test_negative_self_loop_unreached_ok():
     g = Graph.from_networkx(G, weighted=True, num_parts=2)
     assert bellman_ford_dict(g, 0) == {0: 0.0, 1: 1.0}
     assert negative_edge_cycle(g)  # the cycle still exists globally
+
+
+def test_bellman_ford_multi_source_packed():
+    # VERDICT r1: >=3 sources resolved in ONE packed BSP loop
+    from graphblas_algorithms_ray.pipelines.shortest_paths import (
+        bellman_ford_path_lengths,
+    )
+
+    rng = np.random.RandomState(9)
+    G = nx.gnp_random_graph(60, 0.08, seed=9, directed=True)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.randint(1, 9))
+    g = Graph.from_networkx(G, weighted=True, num_parts=3)
+    sources = [0, 7, 23, 41]
+    got = {}
+    for r in bellman_ford_path_lengths(g, sources).take_all():
+        got.setdefault(int(r["source"]), {})[int(r["v"])] = float(r["dist"])
+    for s in sources:
+        exp = nx.single_source_bellman_ford_path_length(G, s)
+        assert set(got.get(s, {})) == set(exp), f"source {s}"
+        for v in exp:
+            assert abs(got[s][v] - exp[v]) < 1e-9
