@@ -134,3 +134,68 @@ def stats_rows(part: int, stats: dict[int, float]) -> pa.Table:
     ks = np.fromiter(stats.keys(), dtype=np.int64, count=len(stats))
     vs = np.fromiter((float(x) for x in stats.values()), dtype=np.float64, count=len(stats))
     return state_table(part, 0, ks, f0=vs)
+
+
+def sparse_vec_ref(d, normalize: bool = True, scale: float | None = None):
+    """Small user dict (personalization/nstart/dangling/beta) → broadcast as
+    SPARSE (idx, vals) arrays in the object store. O(|dict|) everywhere —
+    never an O(n) dense driver array (at 1e12 vertices a 10-entry dict must
+    not densify). Slice per part with ``sparse_part_slice``."""
+    import ray as _ray
+
+    if d is None:
+        return None
+    idx = np.fromiter((int(k) for k in d.keys()), dtype=np.int64, count=len(d))
+    vals = np.fromiter((float(v) for v in d.values()), dtype=np.float64, count=len(d))
+    order = np.argsort(idx)
+    idx, vals = idx[order], vals[order]
+    if normalize:
+        s = vals.sum()
+        if s == 0:
+            raise ZeroDivisionError("zero-sum vector")
+        vals = vals / s
+    if scale is not None:
+        vals = vals * scale
+    return _ray.put((idx, vals))
+
+
+def sparse_part_slice(sp, k: int, num_parts: int, usize: int, default: float = 0.0):
+    """Dense slice of a sparse broadcast vector for part k's universe."""
+    idx, vals = sp
+    out = np.full(usize, default, dtype=np.float64)
+    sel = (idx % num_parts) == k
+    out[idx[sel] // num_parts] = vals[sel]
+    return out
+
+
+_SIZE_UNITS = {
+    "": 1, "b": 1,
+    "kb": 10**3, "mb": 10**6, "gb": 10**9, "tb": 10**12,
+    "kib": 2**10, "mib": 2**20, "gib": 2**30, "tib": 2**40,
+    "k": 10**3, "m": 10**6, "g": 10**9, "t": 10**12,
+}
+
+
+def parse_chunksize(value) -> int:
+    """'256 MiB' / '1.5 GB' / 64_000_000 → bytes. The reference's nxapi
+    chunksize ergonomics (``nxapi/_utils.py:36-87``): quadratic kernels
+    split their work into chunks of a human-readable byte budget."""
+    if isinstance(value, (int, np.integer)):
+        return int(value)
+    s = str(value).strip().lower().replace(" ", "")
+    i = 0
+    while i < len(s) and (s[i].isdigit() or s[i] in ".+-e" ):
+        i += 1
+    num, unit = s[:i], s[i:]
+    if unit not in _SIZE_UNITS:
+        raise ValueError(f"unrecognized size unit {unit!r} in {value!r}")
+    return int(float(num) * _SIZE_UNITS[unit])
+
+
+def chunk_rows(bytes_per_row: int, default: str = "64 MiB", env: str = "GRAFT_CHUNKSIZE") -> int:
+    """Rows per chunk for the quadratic kernels: the configured byte budget
+    (GRAFT_CHUNKSIZE, '256 MiB'-style) divided by the row width."""
+    import os
+
+    budget = parse_chunksize(os.environ.get(env, default))
+    return max(1024, budget // max(1, bytes_per_row))

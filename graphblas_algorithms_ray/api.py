@@ -172,6 +172,12 @@ def q_clustering(sf_dir):
     return clustering(lineitem_graph(sf_dir, directed=False))
 
 
+def q_reciprocity_per_node(sf_dir):
+    from .pipelines.structure import reciprocity
+
+    return reciprocity(lineitem_graph(sf_dir))
+
+
 def q_reciprocity(sf_dir):
     from .pipelines.structure import overall_reciprocity
 
@@ -315,6 +321,9 @@ def q_generalized_degree(sf_dir):
 
 
 K_TRUSS_ROUNDS = 8
+HITS_ITERS = 12  # fixed-iteration oracle runs (tol=0, raise_on_failure=False)
+EIG_ITERS = 24   # supersteps run = EIG_ITERS + 1 (see eigenvector loop)
+KATZ_ITERS = 20
 
 
 def q_k_truss(sf_dir):
@@ -334,7 +343,7 @@ def q_k_truss(sf_dir):
 def q_hits(sf_dir):
     from .pipelines.link_analysis import hits
 
-    h, a = hits(lineitem_graph(sf_dir), max_iter=200)
+    h, a = hits(lineitem_graph(sf_dir), max_iter=HITS_ITERS, tol=0.0, raise_on_failure=False)
     hp = h.to_pandas().sort_values("v").reset_index(drop=True)
     ap = a.to_pandas().sort_values("v").reset_index(drop=True)
     hp["authority"] = ap["authority"]
@@ -346,15 +355,38 @@ def q_hits(sf_dir):
 def q_eigenvector(sf_dir):
     from .pipelines.link_analysis import eigenvector_centrality
 
-    return eigenvector_centrality(
-        lineitem_graph(sf_dir, directed=False), max_iter=500
+    df = (
+        eigenvector_centrality(
+            lineitem_graph(sf_dir, directed=False),
+            max_iter=EIG_ITERS,
+            tol=0.0,
+            raise_on_failure=False,
+        )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
     )
+    df["centrality"] = np.round(df["centrality"], 8)
+    return df
 
 
 def q_katz(sf_dir):
     from .pipelines.link_analysis import katz_centrality
 
-    return katz_centrality(lineitem_graph(sf_dir), alpha=0.005)
+    df = (
+        katz_centrality(
+            lineitem_graph(sf_dir),
+            alpha=0.005,
+            max_iter=KATZ_ITERS,
+            tol=0.0,
+            raise_on_failure=False,
+        )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    df["centrality"] = np.round(df["centrality"], 8)
+    return df
 
 
 def q_minhash_groups(sf_dir):
@@ -467,6 +499,7 @@ QUERIES = {
     "transitivity": q_transitivity,
     "clustering_coefficient": q_clustering,
     "reciprocity_overall": q_reciprocity,
+    "reciprocity_per_node": q_reciprocity_per_node,
     "isolates": q_isolates,
     "s_metric": q_s_metric,
     "cut_metrics": q_cut_metrics,
@@ -554,6 +587,71 @@ d{i + 1} AS MATERIALIZED (
   GROUP BY v)"""
         )
     parts.append(f"\nSELECT v, d AS dist FROM d{rounds} ORDER BY v")
+    return "".join(parts)
+
+
+def _eigenvector_sql(iters: int = EIG_ITERS + 1) -> str:
+    """Unrolled power iteration, mirroring the engine superstep for
+    superstep: y0 = 1/M; per step y' = y/||y|| + (y/||y||) @ A_sym; final
+    L2-normalize, round 8dp."""
+    parts = [f"WITH {_G},\ny0 AS MATERIALIZED (SELECT v, 1.0/{M} AS x FROM verts)"]
+    for i in range(iters):
+        parts.append(f""",
+n{i} AS MATERIALIZED (SELECT sqrt(SUM(x*x)) AS s FROM y{i}),
+y{i + 1} AS MATERIALIZED (
+  SELECT verts.v,
+         (SELECT x FROM y{i} WHERE y{i}.v = verts.v)/(SELECT s FROM n{i})
+         + COALESCE(c.m, 0) AS x
+  FROM verts LEFT JOIN (
+    SELECT sym.b AS v, SUM(y.x/(SELECT s FROM n{i})) AS m
+    FROM sym JOIN y{i} y ON y.v = sym.a GROUP BY sym.b) c USING (v))""")
+    parts.append(f"""
+SELECT v, ROUND(x / (SELECT sqrt(SUM(x*x)) FROM y{iters}), 8) AS centrality
+FROM y{iters} ORDER BY v""")
+    return "".join(parts)
+
+
+def _katz_sql(alpha: float = 0.005, iters: int = KATZ_ITERS) -> str:
+    """x0 = 0; x' = alpha*(x @ A) + 1; final L2-normalize, round 8dp."""
+    parts = [f"WITH {_G},\nx0 AS MATERIALIZED (SELECT v, 0.0 AS x FROM verts)"]
+    for i in range(iters):
+        parts.append(f""",
+x{i + 1} AS MATERIALIZED (
+  SELECT verts.v, {alpha}::DOUBLE * COALESCE(c.m, 0) + 1.0 AS x
+  FROM verts LEFT JOIN (
+    SELECT e.dst AS v, SUM(x.x) AS m FROM edges e JOIN x{i} x ON x.v = e.src
+    GROUP BY e.dst) c USING (v))""")
+    parts.append(f"""
+SELECT v, ROUND(x / (SELECT sqrt(SUM(x*x)) FROM x{iters}), 8) AS centrality
+FROM x{iters} ORDER BY v""")
+    return "".join(parts)
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """h0 = 1/M; per iter a = h_prev @ A (in-edges), hraw = A @ a
+    (out-edges), h = hraw/max(hraw); final hub = h/sum, authority =
+    (h_K @ A)/sum — the engine's stop-point pairing; round 8dp."""
+    parts = [f"WITH {_G},\nh0 AS MATERIALIZED (SELECT v, 1.0/{M} AS x FROM verts)"]
+    for i in range(iters):
+        parts.append(f""",
+a{i + 1} AS MATERIALIZED (
+  SELECT verts.v, COALESCE(c.m, 0) AS x FROM verts LEFT JOIN (
+    SELECT e.dst AS v, SUM(h.x) AS m FROM edges e JOIN h{i} h ON h.v = e.src
+    GROUP BY e.dst) c USING (v)),
+hr{i + 1} AS MATERIALIZED (
+  SELECT verts.v, COALESCE(c.m, 0) AS x FROM verts LEFT JOIN (
+    SELECT e.src AS v, SUM(a.x) AS m FROM edges e JOIN a{i + 1} a ON a.v = e.dst
+    GROUP BY e.src) c USING (v)),
+h{i + 1} AS MATERIALIZED (
+  SELECT v, x / (SELECT MAX(x) FROM hr{i + 1}) AS x FROM hr{i + 1})""")
+    parts.append(f""",
+af AS MATERIALIZED (
+  SELECT verts.v, COALESCE(c.m, 0) AS x FROM verts LEFT JOIN (
+    SELECT e.dst AS v, SUM(h.x) AS m FROM edges e JOIN h{iters} h ON h.v = e.src
+    GROUP BY e.dst) c USING (v))
+SELECT h.v, ROUND(h.x / (SELECT SUM(x) FROM h{iters}), 8) AS hub,
+       ROUND(af.x / (SELECT SUM(x) FROM af), 8) AS authority
+FROM h{iters} h JOIN af ON af.v = h.v ORDER BY h.v""")
     return "".join(parts)
 
 
@@ -740,6 +838,38 @@ walk(v, level) AS (
 SELECT v, MIN(level)::BIGINT AS level FROM walk GROUP BY v ORDER BY v""",
     "bellman_ford": _bellman_ford_sql(),
     "k_truss4": _k_truss_sql(),
+    "eigenvector_centrality": _eigenvector_sql(),
+    "katz_centrality": _katz_sql(),
+    "hits": _hits_sql(),
+    "reciprocity_per_node": f"""WITH {_G},
+rec AS (SELECT e1.src AS v, COUNT(*)::DOUBLE AS r FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst AND e2.dst = e1.src GROUP BY e1.src),
+tot AS (SELECT verts.v, COALESCE(o.d, 0) + COALESCE(i.d, 0) AS d FROM verts
+  LEFT JOIN (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src) o USING (v)
+  LEFT JOIN (SELECT dst AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY dst) i USING (v))
+SELECT tot.v, 2.0 * COALESCE(rec.r, 0) / tot.d AS reciprocity
+FROM tot LEFT JOIN rec USING (v) WHERE tot.d > 0 ORDER BY tot.v""",
+    "clustering_directed": f"""WITH {_G},
+bm AS MATERIALIZED (SELECT a, b, COUNT(*)::DOUBLE AS c FROM (
+    SELECT src AS a, dst AS b FROM edges WHERE src <> dst
+    UNION ALL SELECT dst AS a, src AS b FROM edges WHERE src <> dst) GROUP BY a, b),
+tt AS MATERIALIZED (
+  SELECT b1.a AS v, SUM(b1.c * b2.c * b3.c) AS t
+  FROM bm b1 JOIN bm b2 ON b2.a = b1.a AND b2.b > b1.b
+  JOIN bm b3 ON b3.a = b1.b AND b3.b = b2.b
+  GROUP BY b1.a),
+dtot AS MATERIALIZED (SELECT verts.v, COALESCE(o.d, 0) + COALESCE(i.d, 0) AS d
+  FROM verts
+  LEFT JOIN (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM edges WHERE src <> dst GROUP BY src) o USING (v)
+  LEFT JOIN (SELECT dst AS v, COUNT(*)::DOUBLE AS d FROM edges WHERE src <> dst GROUP BY dst) i USING (v)),
+drec AS MATERIALIZED (SELECT a AS v, COUNT(*)::DOUBLE AS d FROM bm WHERE c = 2 GROUP BY a)
+SELECT verts.v,
+       CASE WHEN (dtot.d * (dtot.d - 1) - 2 * COALESCE(drec.d, 0)) > 0
+            THEN COALESCE(tt.t, 0) / (dtot.d * (dtot.d - 1) - 2 * COALESCE(drec.d, 0))
+            ELSE 0.0 END AS clustering
+FROM verts JOIN dtot USING (v)
+LEFT JOIN tt ON tt.v = verts.v LEFT JOIN drec ON drec.v = verts.v
+ORDER BY verts.v""",
     "edge_support": f"""WITH {_G}, {_TRI},
 epairs AS (SELECT x AS u, y AS w FROM tri UNION ALL SELECT x, z FROM tri UNION ALL SELECT y, z FROM tri)
 SELECT u, w, COUNT(*)::BIGINT AS support FROM epairs GROUP BY u, w ORDER BY u, w""",

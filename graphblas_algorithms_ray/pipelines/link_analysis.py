@@ -30,6 +30,8 @@ import ray
 import ray.data
 
 from .._util import (
+    sparse_part_slice,
+    sparse_vec_ref,
     STAT_DELTA,
     STAT_SUMSQ,
     STAT_MAX,
@@ -60,15 +62,15 @@ class _UniformInit:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out = []
-        full = ray.get(self.nstart_ref) if self.nstart_ref is not None else None
+        sp = ray.get(self.nstart_ref) if self.nstart_ref is not None else None
         for k in t["id"].to_numpy(zero_copy_only=False):
             k = int(k)
             uni = universe(k, self.n, self.P)
             if uni.size == 0:
                 continue
             x = (
-                full[k :: self.P].astype(np.float64)
-                if full is not None
+                sparse_part_slice(sp, k, self.P, uni.size)
+                if sp is not None
                 else np.full(uni.size, self.value)
             )
             out.append(state_table(k, 0, uni, f0=x, i0=_f2i(x)))
@@ -147,16 +149,13 @@ class _EigCombine:
         )
 
 
-def eigenvector_centrality(G, max_iter=100, tol=1e-6, nstart: dict | None = None):
+def eigenvector_centrality(
+    G, max_iter=100, tol=1e-6, nstart: dict | None = None, raise_on_failure: bool = True
+):
     """Dataset (v, centrality); matches nx.eigenvector_centrality."""
     G._ensure_built()
     n, P = G.n, G.num_parts
-    nstart_ref = None
-    if nstart is not None:
-        arr = np.zeros(n)
-        for kk, vv in nstart.items():
-            arr[int(kk)] = float(vv)
-        nstart_ref = ray.put(arr)
+    nstart_ref = sparse_vec_ref(nstart, normalize=False)
     state = (
         ray.data.range(P, override_num_blocks=P)
         .map_batches(
@@ -183,7 +182,12 @@ def eigenvector_centrality(G, max_iter=100, tol=1e-6, nstart: dict | None = None
             break
         state, stats = new_state, new_stats
     else:
-        raise ConvergenceFailure(f"eigenvector failed in {max_iter} iterations")
+        if raise_on_failure:
+            raise ConvergenceFailure(f"eigenvector failed in {max_iter} iterations")
+        # fixed-iteration mode (oracle runs): return the final iterate,
+        # L2-normalized — max_iter+1 supersteps have run at this point
+        prev_state = state
+        prev_norm = float(np.sqrt(stats.get(STAT_SUMSQ, 1.0)) or 1.0)
 
     def _strip(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -199,6 +203,7 @@ class _KatzCombine:
     def __init__(self, n, num_parts, beta_ref, beta_scalar):
         self.n, self.P = n, num_parts
         self.beta_ref, self.beta_scalar = beta_ref, beta_scalar
+        self._beta_sp = None
 
     def __call__(self, g: pa.Table) -> pa.Table:
         b = spmv.batch_numpy(g)
@@ -211,9 +216,11 @@ class _KatzCombine:
         acc = np.zeros(usize)
         msg = kind == 1
         np.add.at(acc, v[msg] // self.P, b["f0"][msg])
+        if self.beta_ref is not None and self._beta_sp is None:
+            self._beta_sp = ray.get(self.beta_ref)
         beta = (
-            ray.get(self.beta_ref)[k :: self.P]
-            if self.beta_ref is not None
+            sparse_part_slice(self._beta_sp, k, self.P, usize)
+            if self._beta_sp is not None
             else self.beta_scalar
         )
         new = acc + beta
@@ -231,24 +238,14 @@ class _KatzCombine:
 
 def katz_centrality(
     G, alpha=0.1, beta=1.0, max_iter=1000, tol=1e-6, nstart: dict | None = None,
-    normalized: bool = True,
+    normalized: bool = True, raise_on_failure: bool = True,
 ):
     """Dataset (v, centrality); matches nx.katz_centrality."""
     G._ensure_built()
     n, P = G.n, G.num_parts
-    beta_ref = None
     beta_scalar = float(beta) if not isinstance(beta, dict) else 0.0
-    if isinstance(beta, dict):
-        arr = np.zeros(n)
-        for kk, vv in beta.items():
-            arr[int(kk)] = float(vv)
-        beta_ref = ray.put(arr)
-    nstart_ref = None
-    if nstart is not None:
-        arr = np.zeros(n)
-        for kk, vv in nstart.items():
-            arr[int(kk)] = float(vv)
-        nstart_ref = ray.put(arr)
+    beta_ref = sparse_vec_ref(beta, normalize=False) if isinstance(beta, dict) else None
+    nstart_ref = sparse_vec_ref(nstart, normalize=False)
     state = (
         ray.data.range(P, override_num_blocks=P)
         .map_batches(_UniformInit(n, P, 0.0, nstart_ref), batch_format="pyarrow")
@@ -264,7 +261,8 @@ def katz_centrality(
         if stats.get(STAT_DELTA, np.inf) < n * tol:
             break
     else:
-        raise ConvergenceFailure(f"katz failed in {max_iter} iterations")
+        if raise_on_failure:
+            raise ConvergenceFailure(f"katz failed in {max_iter} iterations")
     s = 1.0 / (np.sqrt(stats.get(STAT_SUMSQ, 0.0)) or 1.0) if normalized else 1.0
 
     def _strip(t: pa.Table) -> pa.Table:
@@ -327,7 +325,7 @@ class _HitsCombine:
         )
 
 
-def hits(G, max_iter=100, tol=1e-8, normalized=True):
+def hits(G, max_iter=100, tol=1e-8, normalized=True, raise_on_failure=True):
     """(hubs, authorities) as Datasets (v, hub) / (v, authority);
     matches networkx _hits_python (power iteration, Linf per-iteration
     normalization folded into the seeds, absolute-tol L1 convergence)."""
@@ -371,7 +369,7 @@ def hits(G, max_iter=100, tol=1e-8, normalized=True):
             _HitsCombine(n, P, pass_i0=True),
         )
         h_max = h_stats.get(STAT_MAX, 1.0) or 1.0
-    if not converged:
+    if not converged and raise_on_failure:
         raise ConvergenceFailure(f"hits failed in {max_iter} iterations")
 
     a_max = collect_stats(a_state).get(STAT_MAX, 1.0) or 1.0

@@ -35,6 +35,8 @@ import ray.data
 from .._util import (
     STAT_DANGLING,
     STAT_DELTA,
+    sparse_part_slice,
+    sparse_vec_ref,
     state_table,
     universe,
     universe_size,
@@ -52,22 +54,6 @@ from ..stages.fixpoint import (
 LAST_RUN_INFO: dict = {}
 
 
-def _dict_to_dense_ref(d: dict | None, n: int, normalize: bool = True):
-    """Small user dict → normalized dense vector in the object store.
-
-    Broadcast once (ray.put), sliced per part with a zero-copy stride view
-    inside the stages — never re-shipped per batch."""
-    if d is None:
-        return None
-    arr = np.zeros(n, dtype=np.float64)
-    for k, v in d.items():
-        arr[int(k)] = float(v)
-    s = arr.sum()
-    if normalize:
-        if s == 0:
-            raise ZeroDivisionError("zero-sum vector")
-        arr = arr / s
-    return ray.put(arr)
 
 
 def _scalar_broadcast_rows(num_parts: int, stat_id: int, value: float) -> pa.Table:
@@ -102,15 +88,15 @@ class _PRInit:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out = []
-        x0_full = ray.get(self.x0_ref) if self.x0_ref is not None else None
+        x0_sp = ray.get(self.x0_ref) if self.x0_ref is not None else None
         for k in t["id"].to_numpy(zero_copy_only=False):
             k = int(k)
             uni = universe(k, self.n, self.P)
             if uni.size == 0:
                 continue
             x0 = (
-                x0_full[k :: self.P].astype(np.float64)
-                if x0_full is not None
+                sparse_part_slice(x0_sp, k, self.P, uni.size)
+                if x0_sp is not None
                 else np.full(uni.size, 1.0 / self.n)
             )
             aux = ray.get(self.aux_refs[k])
@@ -188,8 +174,16 @@ class _PRCombine:
             self._p_full = ray.get(self.p_ref)
         if self.dw_ref is not None and self._dw_full is None:
             self._dw_full = ray.get(self.dw_ref)
-        p_k = self._p_full[k :: self.P] if self._p_full is not None else 1.0 / self.n
-        dw_k = self._dw_full[k :: self.P] if self._dw_full is not None else p_k
+        p_k = (
+            sparse_part_slice(self._p_full, k, self.P, usize)
+            if self._p_full is not None
+            else 1.0 / self.n
+        )
+        dw_k = (
+            sparse_part_slice(self._dw_full, k, self.P, usize)
+            if self._dw_full is not None
+            else p_k
+        )
         new = acc + self.alpha * dm_prev * dw_k + (1.0 - self.alpha) * p_k
 
         aux = self.aux.get(k)
@@ -233,10 +227,19 @@ class _PRDenseProg:
             dst = csr["dst"]
             dpart = (dst % P).astype(np.int64)
             order = np.argsort(dpart, kind="stable")
-            p_full = ray.get(self.p_ref) if self.p_ref is not None else None
-            dw_full = ray.get(self.dw_ref) if self.dw_ref is not None else None
-            p_k = p_full[part::P] if p_full is not None else 1.0 / n
-            dw_k = dw_full[part::P] if dw_full is not None else p_k
+            usize_k = universe_size(part, n, P)
+            p_sp = ray.get(self.p_ref) if self.p_ref is not None else None
+            dw_sp = ray.get(self.dw_ref) if self.dw_ref is not None else None
+            p_k = (
+                sparse_part_slice(p_sp, part, P, usize_k)
+                if p_sp is not None
+                else 1.0 / n
+            )
+            dw_k = (
+                sparse_part_slice(dw_sp, part, P, usize_k)
+                if dw_sp is not None
+                else p_k
+            )
             # edge -> csr-row index, pre-permuted into dst-part order: per
             # step the seed gather is ONE fancy-index over the row array
             # (no np.repeat temporary)
@@ -261,7 +264,7 @@ class _PRDenseProg:
     def init_state(self, part):
         usize = universe_size(part, self.n, self.P)
         if self.x0_ref is not None:
-            return ray.get(self.x0_ref)[part :: self.P].astype(np.float64)
+            return sparse_part_slice(ray.get(self.x0_ref), part, self.P, usize)
         return np.full(usize, 1.0 / self.n)
 
     def make_pieces(self, part, x, gscalars):
@@ -325,9 +328,9 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank of the null graph (PointlessConcept)")
 
-    p_ref = _dict_to_dense_ref(personalization, n)
-    dw_ref = _dict_to_dense_ref(dangling, n)
-    x0_ref = _dict_to_dense_ref(nstart, n)
+    p_ref = sparse_vec_ref(personalization)
+    dw_ref = sparse_vec_ref(dangling)
+    x0_ref = sparse_vec_ref(nstart)
     from ..stages.bsp_actors import fused_min_edges as _fused_min_edges
 
     no_ckpt = not checkpoint_dir and not checkpoint_every and not resume

@@ -28,7 +28,10 @@ from .._util import named, universe, universe_size
 from ..stages.spmv import concat_ranges
 from .structure import _EdgeProbe
 
-_CHUNK = 2_000_000
+from .._util import chunk_rows
+
+# square-wedge rows ≈ 28 bytes; budget via GRAFT_CHUNKSIZE ('256 MiB' style)
+_CHUNK = chunk_rows(28, default="56 MiB")
 
 
 class _MidWedgeGen:

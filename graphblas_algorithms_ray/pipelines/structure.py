@@ -88,6 +88,139 @@ def overall_reciprocity(G) -> float:
     return reciprocated_edge_count(G) / G.m
 
 
+def reciprocity(G, nodes=None) -> ray.data.Dataset:
+    """Per-node reciprocity 2·recip_degrees⁺ / total_degrees⁺ (reference
+    ``algorithms/reciprocity.py:8-14``): for each vertex, the fraction of
+    its incident arcs whose reverse also exists (self-loops reciprocate
+    themselves). Vertices with zero total degree are absent (the
+    reference's truediv-union mask). Dataset (v, reciprocity)."""
+    G._ensure_built()
+    P, n = G.num_parts, G.n
+    probe = _EdgeProbe(G.csr_refs, n)
+    out_aux = G.aux_refs
+    in_aux = G.reverse().aux_refs if G.directed else G.aux_refs
+
+    def _route(t: pa.Table) -> pa.Table:
+        # probe the reverse pair (dst, src) in shard dst % P; remember src
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((d % P).astype(np.int32)),
+                "a": t["dst"],
+                "b": t["src"],
+            }
+        )
+
+    class _RecipPartial:
+        """Per probe bucket: reciprocated-out-edge counts, routed to the
+        SOURCE vertex's part for the universe-aligned combine."""
+
+        def __call__(self, g: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "v": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                }
+            )
+            if g.num_rows == 0:
+                return empty
+            k = int(g["part"][0].as_py())
+            a = g["a"].to_numpy(zero_copy_only=False)
+            b = g["b"].to_numpy(zero_copy_only=False)
+            ok = probe.member(k, a, b)
+            src = b[ok]  # b was the original src
+            uv, cnt = np.unique(src, return_counts=True)
+            return pa.table(
+                {
+                    "part": pa.array((uv % P).astype(np.int32)),
+                    "v": pa.array(uv),
+                    "r": pa.array(cnt.astype(np.int64)),
+                }
+            )
+
+    class _EmitAll:
+        """Per source part: dense recip counts over the universe; emit every
+        vertex with total degree > 0 (the reference's union mask)."""
+
+        def __call__(self, g: pa.Table) -> pa.Table:
+            k = int(g["part"][0].as_py())
+            from .._util import universe, universe_size
+
+            usize = universe_size(k, n, P)
+            rd = np.zeros(usize, dtype=np.int64)
+            v = g["v"].to_numpy(zero_copy_only=False)
+            np.add.at(rd, v // P, g["r"].to_numpy(zero_copy_only=False))
+            tot = ray.get(out_aux[k])["out_cnt"] + ray.get(in_aux[k])["out_cnt"]
+            sel = tot > 0
+            uni = universe(k, n, P)
+            return pa.table(
+                {
+                    "v": pa.array(uni[sel]),
+                    "reciprocity": pa.array(2.0 * rd[sel] / tot[sel]),
+                }
+            )
+
+    per_part = (
+        G.edges_ds()
+        .map_batches(_route, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(named(_RecipPartial()), batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(named(_EmitAll()), batch_format="pyarrow")
+        .materialize()
+    )
+    # parts with no reciprocated edges never reach _EmitAll; fill them
+    have = set()
+    for row in per_part.map_batches(
+        lambda t: pa.table(
+            {"p": pa.array(np.unique(t["v"].to_numpy(zero_copy_only=False) % P).astype(np.int32))}
+        ),
+        batch_format="pyarrow",
+    ).take_all():
+        have.add(int(row["p"]))
+
+    class _FillZero:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from .._util import universe
+
+            out_v, out_r = [], []
+            for k in t["id"].to_numpy(zero_copy_only=False):
+                k = int(k)
+                tot = ray.get(out_aux[k])["out_cnt"] + ray.get(in_aux[k])["out_cnt"]
+                uni = universe(k, n, P)
+                sel = tot > 0
+                out_v.append(uni[sel])
+                out_r.append(np.zeros(int(sel.sum())))
+            return pa.table(
+                {
+                    "v": pa.array(
+                        np.concatenate(out_v) if out_v else np.empty(0, np.int64)
+                    ),
+                    "reciprocity": pa.array(
+                        np.concatenate(out_r) if out_r else np.empty(0, np.float64)
+                    ),
+                }
+            )
+
+    missing = [k for k in range(P) if k not in have]
+    if missing:
+        fill = ray.data.from_items([{"id": k} for k in missing]).map_batches(
+            _FillZero(), batch_format="pyarrow"
+        )
+        per_part = per_part.union(fill)
+    ds = per_part
+    if nodes is not None:
+        wanted = np.asarray(sorted(int(x) for x in nodes), np.int64)
+        import pyarrow.compute as pc
+
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["v"], value_set=pa.array(wanted))),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
 def isolates(G) -> ray.data.Dataset:
     """Vertices with zero in+out degree (``algorithms/isolate.py:4-26``)."""
     G._ensure_built()

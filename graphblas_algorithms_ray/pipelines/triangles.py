@@ -36,7 +36,8 @@ import ray.data
 from .._util import named, universe, universe_size
 from ..stages import spmv
 
-_CHUNK_PAIRS = 2_000_000
+from .._util import chunk_rows
+_CHUNK_PAIRS = chunk_rows(28, default='56 MiB')
 
 
 def _degree_rank(g):
@@ -85,13 +86,20 @@ def _forward_graph(G):
                 s = self._rank[t["src"].to_numpy(zero_copy_only=False)]
                 d = self._rank[t["dst"].to_numpy(zero_copy_only=False)]
                 m = s < d  # drops self loops, keeps the low-rank→high-rank arc
-                return pa.table({"src": pa.array(s[m]), "dst": pa.array(d[m])})
+                cols = {"src": pa.array(s[m]), "dst": pa.array(d[m])}
+                if "weight" in t.column_names:
+                    cols["weight"] = pa.array(
+                        t["weight"].to_numpy(zero_copy_only=False)[m]
+                    )
+                return pa.table(cols)
 
         fg = Graph(
             g.edges_ds().map_batches(_Canon(), batch_format="pyarrow"),
             n=g.n,
             directed=True,
+            weighted=g.weighted,
             num_parts=g.num_parts,
+            dup="min",  # both symmetric copies carry the same weight
             name=g.name + "_fwd",
         )
         fg._ensure_built()
@@ -199,6 +207,115 @@ class _ProbeAndCount:
         )
 
 
+@ray.remote
+def _shard_max_weight(csr) -> float:
+    w = csr.get("weight")
+    return float(np.max(w)) if w is not None and np.size(w) else 0.0
+
+
+class _WedgeGenW(_WedgeGen):
+    """Weighted wedges: also emit wp = (w_ua/max_w)·(w_ub/max_w)."""
+
+    def __init__(self, csr_refs, num_parts, max_w):
+        super().__init__(csr_refs, num_parts)
+        self.max_w = max_w
+
+    def __call__(self, t: pa.Table):
+        yielded = False
+        for k in t["id"].to_numpy(zero_copy_only=False):
+            csr = ray.get(self.csr_refs[int(k)])
+            srcs, indptr, dst, w = csr["srcs"], csr["indptr"], csr["dst"], csr["weight"]
+            bufs, size = [], 0
+            for i in range(srcs.size):
+                lo, hi = indptr[i], indptr[i + 1]
+                d = hi - lo
+                if d < 2:
+                    continue
+                nb, nw = dst[lo:hi], w[lo:hi] / self.max_w
+                ii, jj = np.triu_indices(d, k=1)
+                bufs.append((nb[ii], nb[jj], np.full(ii.size, srcs[i], np.int64), nw[ii] * nw[jj]))
+                size += ii.size
+                if size >= _CHUNK_PAIRS:
+                    yield self._emit_w(bufs)
+                    bufs, size = [], 0
+                    yielded = True
+            if size:
+                yield self._emit_w(bufs)
+                yielded = True
+        if not yielded:
+            yield pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "u": pa.array([], pa.int64()),
+                    "wp": pa.array([], pa.float64()),
+                }
+            )
+
+    def _emit_w(self, bufs):
+        a = np.concatenate([x[0] for x in bufs])
+        b = np.concatenate([x[1] for x in bufs])
+        u = np.concatenate([x[2] for x in bufs])
+        wp = np.concatenate([x[3] for x in bufs])
+        return pa.table(
+            {
+                "part": pa.array((a % self.P).astype(np.int32)),
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "u": pa.array(u),
+                "wp": pa.array(wp),
+            }
+        )
+
+
+class _ProbeWeighted(_ProbeAndCount):
+    """Confirm (a,b); emit per-corner cbrt(ŵ_ua·ŵ_ub·ŵ_ab) sums — the
+    reference's cbrt plus_times triangle kernel (``cluster.py:24-53``)."""
+
+    def __init__(self, csr_refs, n, num_parts, max_w):
+        super().__init__(csr_refs, n, num_parts)
+        self.max_w = max_w
+        self._w: dict[int, np.ndarray] = {}
+
+    def _shard_w(self, k: int) -> np.ndarray:
+        if k not in self._w:
+            self._w[k] = ray.get(self.csr_refs[k])["weight"] / self.max_w
+        return self._w[k]
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"part": pa.array([], pa.int32()), "v": pa.array([], pa.int64()), "c": pa.array([], pa.float64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        k = int(g["part"][0].as_py())
+        keys = self._shard_keys(k)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        u = g["u"].to_numpy(zero_copy_only=False)
+        wp = g["wp"].to_numpy(zero_copy_only=False)
+        want = a * np.int64(self.n) + b
+        if keys.size:
+            pos = np.minimum(np.searchsorted(keys, want), keys.size - 1)
+            ok = keys[pos] == want
+        else:
+            return empty
+        contrib = np.cbrt(wp[ok] * self._shard_w(k)[pos[ok]])
+        corners = np.concatenate([u[ok], a[ok], b[ok]])
+        vals = np.concatenate([contrib, contrib, contrib])
+        uv, inv = np.unique(corners, return_inverse=True)
+        acc = np.zeros(uv.size, dtype=np.float64)
+        np.add.at(acc, inv, vals)
+        return pa.table(
+            {
+                "part": pa.array((uv % self.P).astype(np.int32)),
+                "v": pa.array(uv),
+                "c": pa.array(acc),
+            }
+        )
+
+
 class _SumPerVertex:
     def __init__(self, n, num_parts, col):
         self.n, self.P, self.col = n, num_parts, col
@@ -206,9 +323,9 @@ class _SumPerVertex:
     def __call__(self, g: pa.Table) -> pa.Table:
         k = int(g["part"][0].as_py())
         usize = universe_size(k, self.n, self.P)
-        acc = np.zeros(usize, dtype=np.int64)
-        v = g["v"].to_numpy(zero_copy_only=False)
         c = g["c"].to_numpy(zero_copy_only=False)
+        acc = np.zeros(usize, dtype=c.dtype if c.dtype == np.float64 else np.int64)
+        v = g["v"].to_numpy(zero_copy_only=False)
         np.add.at(acc, v // self.P, c)
         return pa.table(
             {"v": pa.array(universe(k, self.n, self.P)), self.col: pa.array(acc)}
@@ -218,21 +335,81 @@ class _SumPerVertex:
 class _FillMissingParts:
     """Emit zero rows for parts that received no triangle corners."""
 
-    def __init__(self, n, num_parts, col):
+    def __init__(self, n, num_parts, col, dtype=np.int64):
         self.n, self.P, self.col = n, num_parts, col
+        self.dtype = dtype
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out_v, out_c = [], []
         for k in t["id"].to_numpy(zero_copy_only=False):
             uni = universe(int(k), self.n, self.P)
             out_v.append(uni)
-            out_c.append(np.zeros(uni.size, np.int64))
+            out_c.append(np.zeros(uni.size, self.dtype))
         return pa.table(
             {
                 "v": pa.array(np.concatenate(out_v) if out_v else np.empty(0, np.int64)),
-                self.col: pa.array(np.concatenate(out_c) if out_c else np.empty(0, np.int64)),
+                self.col: pa.array(
+                    np.concatenate(out_c) if out_c else np.empty(0, self.dtype)
+                ),
             }
         )
+
+
+def _fill_and_back(per_part, fg, P, col, perm_ref, dtype=np.int64):
+    """Union in zero rows for parts with no corners; map rank ids back."""
+    have = set()
+    for r in per_part.map_batches(
+        lambda t: pa.table({"p": pa.array(np.unique(t["v"].to_numpy(zero_copy_only=False) % P).astype(np.int32))}),
+        batch_format="pyarrow",
+    ).take_all():
+        have.add(int(r["p"]))
+    missing = [k for k in range(P) if k not in have and universe_size(k, fg.n, P)]
+    if missing:
+        fill = ray.data.from_items([{"id": k} for k in missing]).map_batches(
+            _FillMissingParts(fg.n, P, col, dtype), batch_format="pyarrow"
+        )
+        per_part = per_part.union(fill)
+
+    class _Back:
+        def __init__(self):
+            self._perm = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._perm is None:
+                self._perm = ray.get(perm_ref)
+            return pa.table(
+                {
+                    "v": pa.array(self._perm[t["v"].to_numpy(zero_copy_only=False)]),
+                    col: t[col],
+                }
+            )
+
+    return per_part.map_batches(_Back(), batch_format="pyarrow")
+
+
+def weighted_triangle_sums(G) -> ray.data.Dataset:
+    """(v, tw): per-node Σ over incident triangles of
+    cbrt(ŵ_uv·ŵ_uw·ŵ_vw), ŵ = w / max(w) — the reference's cbrt
+    ``plus_times`` weighted-triangle kernel (``cluster.py:24-53``)."""
+    g, fg, rank_ref, perm_ref = _forward_graph(G)
+    if not fg.weighted:
+        raise ValueError("weighted_triangle_sums requires a weighted graph")
+    P = fg.num_parts
+    max_w = max(ray.get([_shard_max_weight.remote(r) for r in fg.csr_refs]) + [0.0])
+    if max_w <= 0:
+        max_w = 1.0
+    wedges = ray.data.range(P, override_num_blocks=P).map_batches(
+        _WedgeGenW(fg.csr_refs, P, max_w), batch_format="pyarrow"
+    )
+    counts = wedges.groupby("part").map_groups(
+        named(_ProbeWeighted(fg.csr_refs, fg.n, P, max_w)), batch_format="pyarrow"
+    )
+    per_part = (
+        counts.groupby("part")
+        .map_groups(named(_SumPerVertex(fg.n, P, "tw")), batch_format="pyarrow")
+        .materialize()
+    )
+    return _fill_and_back(per_part, fg, P, "tw", perm_ref, dtype=np.float64)
 
 
 def _corner_counts(G) -> tuple:
@@ -330,11 +507,22 @@ def transitivity(G) -> float:
     return 6.0 * total_triangles(g) / denom
 
 
-def clustering(G) -> ray.data.Dataset:
+def clustering(G, weight: str | None = None) -> ray.data.Dataset:
     """Per-node clustering coefficient 2·tri/(d(d-1)), 0 where d<2
-    (``cluster.py:94-108``). Dataset (v, clustering)."""
+    (``cluster.py:94-108``). Dataset (v, clustering).
+
+    ``weight="weight"``: the reference's weighted variant
+    (``cluster.py:24-53,118-126``) — tri is replaced by the cbrt
+    plus_times triangle-weight sum (nx parity incl. max-weight
+    normalization)."""
     g = G.to_undirected() if G.directed else G
-    tri = triangles(g)
+    if weight is not None:
+        tri = weighted_triangle_sums(g).map_batches(
+            lambda t: pa.table({"v": t["v"], "triangles": t["tw"]}),
+            batch_format="pyarrow",
+        )
+    else:
+        tri = triangles(g)
     aux_refs, n, P = g.aux_refs, g.n, g.num_parts
 
     class _Div:
@@ -356,12 +544,117 @@ def clustering(G) -> ray.data.Dataset:
     return tri.map_batches(_Div(), batch_format="pyarrow")
 
 
-def average_clustering(G, count_zeros: bool = True) -> float:
+def average_clustering(G, count_zeros: bool = True, weight: str | None = None) -> float:
     """``cluster.py:176-193``."""
-    df = clustering(G).to_pandas()
+    df = clustering(G, weight=weight).to_pandas()
     vals = df["clustering"].values
     if not count_zeros:
         # reference divides by c.nvals = nodes with NONZERO clustering
         # (nodes in >=1 triangle), not nodes with degree >= 2
         vals = vals[vals > 0]
     return float(vals.mean()) if vals.size else 0.0
+
+
+# ---------------------------------------------------------------------------
+# single-node fast paths (reference cluster.py:24-41, 129-147, 262-283):
+# one CSR-row fetch for N(v) + membership probes of the C(d,2) closing
+# pairs against the edge shards — O(d² / P) work instead of the full
+# all-nodes triangle join.
+# ---------------------------------------------------------------------------
+
+
+def _node_neighbors(g, v: int):
+    """(neighbors, weights|None) of v from its CSR row (self-edges dropped)."""
+    csr = ray.get(g.csr_refs[v % g.num_parts])
+    srcs, indptr = csr["srcs"], csr["indptr"]
+    pos = int(np.searchsorted(srcs, v))
+    if pos >= srcs.size or srcs[pos] != v:
+        return np.empty(0, np.int64), None
+    lo, hi = int(indptr[pos]), int(indptr[pos + 1])
+    nb = csr["dst"][lo:hi]
+    w = csr["weight"][lo:hi] if csr.get("weight") is not None else None
+    keep = nb != v
+    return nb[keep], (w[keep] if w is not None else None)
+
+
+@ray.remote
+def _probe_pairs(csr, n, a, b):
+    """(hit mask, edge weights of hits or None) for pairs routed to this shard."""
+    cnt = np.diff(csr["indptr"])
+    keys = np.repeat(csr["srcs"], cnt) * np.int64(n) + csr["dst"]
+    want = a * np.int64(n) + b
+    if keys.size == 0:
+        return np.zeros(want.size, dtype=bool), None
+    pos = np.minimum(np.searchsorted(keys, want), keys.size - 1)
+    ok = keys[pos] == want
+    w = csr.get("weight")
+    return ok, (w[pos[ok]] if w is not None else None)
+
+
+def _single_node_pair_hits(g, node: int):
+    """All pairs (a,b), a<b ∈ N(node), probed against the edge shards.
+    Returns (nbrs, nbr_weights, ii, jj, hit_mask, hit_weights_aligned)."""
+    nb, nw = _node_neighbors(g, int(node))
+    if nb.size < 2:
+        return nb, nw, *(np.empty(0, np.int64),) * 2, np.empty(0, bool), None
+    order = np.argsort(nb)
+    nb = nb[order]
+    if nw is not None:
+        nw = nw[order]
+    ii, jj = np.triu_indices(nb.size, k=1)
+    a, b = nb[ii], nb[jj]
+    parts = (a % g.num_parts).astype(np.int64)
+    hit = np.zeros(a.size, dtype=bool)
+    hw = np.zeros(a.size, dtype=np.float64) if nw is not None else None
+    refs, sels = [], []
+    for k in np.unique(parts):
+        sel = np.nonzero(parts == k)[0]
+        refs.append(_probe_pairs.remote(g.csr_refs[int(k)], g.n, a[sel], b[sel]))
+        sels.append(sel)
+    for sel, (ok, w_ab) in zip(sels, ray.get(refs)):
+        hit[sel] = ok
+        if hw is not None and w_ab is not None:
+            hw[sel[ok]] = w_ab
+    return nb, nw, ii, jj, hit, hw
+
+
+def single_triangle(G, node, *, weighted: bool = False):
+    """Triangle count (or cbrt-weighted sum) through ONE node
+    (``cluster.py:24-41``) without the all-nodes join."""
+    g = G.to_undirected() if G.directed else G
+    g._ensure_built()
+    nb, nw, ii, jj, hit, hw = _single_node_pair_hits(g, node)
+    if not weighted:
+        return int(hit.sum())
+    max_w = max(ray.get([_shard_max_weight.remote(r) for r in g.csr_refs]) + [0.0]) or 1.0
+    if nw is None:
+        raise ValueError("weighted single_triangle requires a weighted graph")
+    prod = (nw[ii[hit]] / max_w) * (nw[jj[hit]] / max_w) * (hw[hit] / max_w)
+    return float(np.cbrt(prod).sum())
+
+
+def single_clustering(G, node, *, weighted: bool = False) -> float:
+    """Clustering coefficient of ONE node (``cluster.py:129-147``)."""
+    g = G.to_undirected() if G.directed else G
+    g._ensure_built()
+    tri = single_triangle(g, node, weighted=weighted)
+    aux = ray.get(g.aux_refs[int(node) % g.num_parts])
+    li = int(node) // g.num_parts
+    d = int((aux["out_cnt"] - aux["out_self"])[li])
+    if d < 2:
+        return 0.0
+    return 2.0 * tri / (d * (d - 1))
+
+
+def single_generalized_degree(G, node) -> dict:
+    """{triangle_count: n_edges} for the edges incident to ONE node
+    (``cluster.py:262-283``): edge (v,a)'s support = # probed pairs at a."""
+    g = G.to_undirected() if G.directed else G
+    g._ensure_built()
+    nb, nw, ii, jj, hit, hw = _single_node_pair_hits(g, node)
+    support = np.zeros(nb.size, dtype=np.int64)
+    if nb.size >= 2 and hit.any():
+        np.add.at(support, ii[hit], 1)
+        np.add.at(support, jj[hit], 1)
+    vals, cnts = np.unique(support, return_counts=True)
+    return {int(s): int(c) for s, c in zip(vals, cnts)}

@@ -126,3 +126,53 @@ def test_registry_dispatch():
     pr = ALGORITHMS["pagerank"](g).to_pandas()
     assert len(pr) == 20
     assert abs(ALGORITHMS["overall_reciprocity"](g) - nx.overall_reciprocity(G)) < 1e-12
+
+
+def test_reciprocity_per_node():
+    # reference algorithms/reciprocity.py:8-14 — vs nx per-node reciprocity
+    import networkx as nx
+    from graphblas_algorithms_ray.pipelines.structure import reciprocity
+
+    G = nx.gnp_random_graph(40, 0.12, seed=13, directed=True)
+    G.add_edge(2, 2)  # self-loop reciprocates itself
+    g = Graph.from_networkx(G, num_parts=3)
+    ours = {r["v"]: r["reciprocity"] for r in reciprocity(g).take_all()}
+    for v in G.nodes():
+        if G.degree(v) == 0:
+            assert v not in ours
+        else:
+            assert abs(ours[v] - nx.reciprocity(G, v)) < 1e-12, v
+    # nodes subset filter
+    sub = {r["v"] for r in reciprocity(g, nodes=[0, 1, 2]).take_all()}
+    assert sub <= {0, 1, 2}
+
+
+def test_nodeset_algebra():
+    import ray.data
+    from graphblas_algorithms_ray.pipelines.nodeset import (
+        map_isequal,
+        set_intersection_size,
+        set_isdisjoint,
+        set_isequal,
+        set_issubset,
+        set_union_size,
+    )
+
+    a = ray.data.from_items([{"v": i} for i in [1, 2, 3, 5, 8]])
+    b = ray.data.from_items([{"v": i} for i in [8, 5, 3, 2, 1]])
+    c = ray.data.from_items([{"v": i} for i in [2, 3]])
+    d = ray.data.from_items([{"v": i} for i in [10, 11]])
+    assert set_isequal(a, b)
+    assert not set_isequal(a, c)
+    assert set_issubset(c, a)
+    assert not set_issubset(a, c)
+    assert set_isdisjoint(a, d)
+    assert not set_isdisjoint(a, c)
+    assert set_intersection_size(a, c) == 2
+    assert set_union_size(a, d) == 7
+
+    m1 = ray.data.from_items([{"v": 1, "x": 0.5}, {"v": 2, "x": 1.5}])
+    m2 = ray.data.from_items([{"v": 2, "y": 1.5}, {"v": 1, "y": 0.5}])
+    m3 = ray.data.from_items([{"v": 1, "y": 0.5}])
+    assert map_isequal(m1, m2)
+    assert not map_isequal(m1, m3)

@@ -74,3 +74,54 @@ def test_average_clustering_count_zeros_false():
         )
         < 1e-12
     )
+
+
+def test_weighted_clustering():
+    # reference cluster.py:24-53 cbrt plus_times — vs nx weighted clustering
+    rng = np.random.RandomState(4)
+    G = nx.gnp_random_graph(40, 0.2, seed=4)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.randint(1, 10))
+    g = Graph(
+        [(u, v, G[u][v]["weight"]) for u, v in G.edges()],
+        n=40,
+        directed=False,
+        weighted=True,
+        num_parts=3,
+    )
+    ours = clustering(g, weight="weight").to_pandas().set_index("v")["clustering"].to_dict()
+    theirs = nx.clustering(G, weight="weight")
+    for v in theirs:
+        assert abs(ours[v] - theirs[v]) < 1e-12, v
+    assert (
+        abs(
+            average_clustering(g, weight="weight")
+            - nx.average_clustering(G, weight="weight")
+        )
+        < 1e-12
+    )
+
+
+def test_single_node_fast_paths():
+    from graphblas_algorithms_ray.pipelines.triangles import (
+        single_clustering,
+        single_generalized_degree,
+        single_triangle,
+    )
+
+    rng = np.random.RandomState(6)
+    G = nx.gnp_random_graph(40, 0.2, seed=6)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.randint(1, 9))
+    g = Graph(
+        [(u, v, G[u][v]["weight"]) for u, v in G.edges()],
+        n=40, directed=False, weighted=True, num_parts=3,
+    )
+    for v in (0, 7, 19, 33):
+        assert single_triangle(g, v) == nx.triangles(G, v)
+        assert abs(single_clustering(g, v) - nx.clustering(G, v)) < 1e-12
+        assert (
+            abs(single_clustering(g, v, weighted=True) - nx.clustering(G, v, weight="weight"))
+            < 1e-12
+        )
+        assert single_generalized_degree(g, v) == dict(nx.generalized_degree(G, v))
