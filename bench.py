@@ -177,15 +177,17 @@ def main():
                 # N-node cluster.
                 os.sched_setaffinity(0, set(range(ncpu)))
 
-            out = subprocess.run(
+            proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
                 capture_output=True,
                 text=True,
-                check=True,
                 preexec_fn=_pin,
-            ).stdout
-            return json.loads(out.strip().splitlines()[-1])
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-8000:])
+                raise RuntimeError(f"bench child (ncpu={ncpu}) failed")
+            return json.loads(proc.stdout.strip().splitlines()[-1])
 
         lo, hi = run(lo_n), run(hi_n)
         # north-rule criterion: PageRank throughput scaling (edges/sec);

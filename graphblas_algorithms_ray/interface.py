@@ -1,0 +1,503 @@
+"""NetworkX-backend-style dispatch surface.
+
+The reference's primary public surface is ``nx.pagerank(G,
+backend="graphblas")`` via a ``Dispatcher`` of nx-named staticmethods plus
+``convert_from_nx`` / ``convert_to_nx`` (reference
+``graphblas_algorithms/interface.py:9-266``, entry points in
+``pyproject.toml:66-73``). This module is that surface for the Ray engine:
+
+  * ``convert_from_nx(nx_graph, weight=...)`` → engine ``Graph`` carrying
+    the label↔dense-id dictionary (the reference's ``_key_to_id``,
+    ``classes/graph.py:378-381``) — arbitrary hashable node labels work.
+  * ``Dispatcher.<nx_name>(graph, ...)`` — nx signatures in, nx result
+    shapes out (dicts keyed by original labels, scalars, sets, nx graphs).
+    Accepts either an nx graph (converted on the fly, cached on the
+    graph object) or an engine ``Graph``.
+
+Entry-point registration (``networkx.backends``) requires an installed
+distribution; in-process use is ``Dispatcher.pagerank(G)`` or
+``nx.config``-free direct calls — the conformance tests drive exactly
+that path.
+"""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+
+from .state.graph import Graph
+
+_CACHE_ATTR = "__gar_graph__"
+
+
+def convert_from_nx(graph, weight: str | None = None) -> Graph:
+    """nx (Di)Graph with arbitrary hashable labels → engine Graph with the
+    label dictionary attached. Engine Graphs pass through unchanged."""
+    if isinstance(graph, Graph):
+        return graph
+    cached = graph.__dict__.get(_CACHE_ATTR)
+    if cached is not None and cached[0] == weight:
+        return cached[1]
+    nodes = list(graph.nodes())
+    key_to_id = {k: i for i, k in enumerate(nodes)}
+    if weight is not None:
+        edges = [
+            (key_to_id[u], key_to_id[v], float(d.get(weight, 1.0)))
+            for u, v, d in graph.edges(data=True)
+        ]
+    else:
+        edges = [(key_to_id[u], key_to_id[v]) for u, v in graph.edges()]
+    g = Graph(
+        edges,
+        n=len(nodes),
+        directed=graph.is_directed(),
+        weighted=weight is not None,
+    )
+    g._key_to_id = key_to_id
+    g._id_to_key = nodes
+    try:
+        graph.__dict__[_CACHE_ATTR] = (weight, g)
+    except Exception:
+        pass
+    return g
+
+
+def _key_of(g: Graph, i: int):
+    keys = getattr(g, "_id_to_key", None)
+    return keys[i] if keys is not None else i
+
+
+def _id_of(g: Graph, k):
+    m = getattr(g, "_key_to_id", None)
+    if m is None:
+        return int(k)
+    return m[k]
+
+
+def _map_keys(g: Graph, d: dict) -> dict:
+    keys = getattr(g, "_id_to_key", None)
+    if keys is None:
+        return d
+    return {keys[i]: v for i, v in d.items()}
+
+
+def _map_dict_in(g: Graph, d: dict | None) -> dict | None:
+    if d is None:
+        return None
+    return {_id_of(g, k): v for k, v in d.items()}
+
+
+def _vertex_dict(g: Graph, ds, col: str, cast=float) -> dict:
+    df = ds.to_pandas()
+    return _map_keys(g, {int(r): cast(x) for r, x in zip(df["v"], df[col])})
+
+
+def convert_to_nx(obj, *, name: str | None = None):
+    """Engine results → nx-facing objects (Graph → nx graph; Datasets are
+    converted inside the dispatcher methods, which know their shapes)."""
+    if isinstance(obj, Graph):
+        edges = obj.edges_pandas()
+        out = nx.DiGraph() if obj.directed else nx.Graph()
+        out.add_nodes_from(range(obj.n))
+        out.add_edges_from(zip(edges["src"].astype(int), edges["dst"].astype(int)))
+        return out
+    return obj
+
+
+class Dispatcher:
+    """nx-named entry points over the Ray engine (reference
+    ``interface.py`` Dispatcher parity for the implemented surface)."""
+
+    # -- link analysis -------------------------------------------------
+    @staticmethod
+    def pagerank(
+        graph,
+        alpha=0.85,
+        personalization=None,
+        max_iter=100,
+        tol=1e-6,
+        nstart=None,
+        weight="weight",
+        dangling=None,
+    ):
+        from .pipelines.pagerank import pagerank
+
+        g = convert_from_nx(graph, None)
+        res = pagerank(
+            g,
+            alpha=alpha,
+            personalization=_map_dict_in(g, personalization),
+            max_iter=max_iter,
+            tol=tol,
+            nstart=_map_dict_in(g, nstart),
+            dangling=_map_dict_in(g, dangling),
+        )
+        return _vertex_dict(g, res, "pagerank")
+
+    @staticmethod
+    def hits(graph, max_iter=100, tol=1e-8, nstart=None, normalized=True):
+        from .pipelines.link_analysis import hits
+
+        g = convert_from_nx(graph, None)
+        h, a = hits(g, max_iter=max_iter, tol=tol, normalized=normalized)
+        return _vertex_dict(g, h, "hub"), _vertex_dict(g, a, "authority")
+
+    @staticmethod
+    def eigenvector_centrality(graph, max_iter=100, tol=1e-6, nstart=None, weight=None):
+        from .pipelines.link_analysis import eigenvector_centrality
+
+        g = convert_from_nx(graph, weight)
+        res = eigenvector_centrality(
+            g, max_iter=max_iter, tol=tol, nstart=_map_dict_in(g, nstart)
+        )
+        return _vertex_dict(g, res, "centrality")
+
+    @staticmethod
+    def katz_centrality(
+        graph, alpha=0.1, beta=1.0, max_iter=1000, tol=1e-6, nstart=None,
+        normalized=True, weight=None,
+    ):
+        from .pipelines.link_analysis import katz_centrality
+
+        g = convert_from_nx(graph, weight)
+        b = _map_dict_in(g, beta) if isinstance(beta, dict) else beta
+        res = katz_centrality(
+            g, alpha=alpha, beta=b, max_iter=max_iter, tol=tol,
+            nstart=_map_dict_in(g, nstart), normalized=normalized,
+        )
+        return _vertex_dict(g, res, "centrality")
+
+    # -- degrees -------------------------------------------------------
+    @staticmethod
+    def degree_centrality(graph):
+        from .pipelines.centrality import degree_centrality
+
+        g = convert_from_nx(graph, None)
+        mode = "total" if g.directed else "out"
+        return _vertex_dict(g, degree_centrality(g, mode=mode), "centrality")
+
+    @staticmethod
+    def in_degree_centrality(graph):
+        from .pipelines.centrality import degree_centrality
+
+        g = convert_from_nx(graph, None)
+        return _vertex_dict(g, degree_centrality(g, mode="in"), "centrality")
+
+    @staticmethod
+    def out_degree_centrality(graph):
+        from .pipelines.centrality import degree_centrality
+
+        g = convert_from_nx(graph, None)
+        return _vertex_dict(g, degree_centrality(g, mode="out"), "centrality")
+
+    # -- clustering / triangles ---------------------------------------
+    @staticmethod
+    def triangles(graph, nodes=None):
+        from .pipelines.triangles import single_triangle, triangles_dict
+
+        g = convert_from_nx(graph, None)
+        if nodes is not None and not isinstance(nodes, (list, set, tuple)):
+            return int(single_triangle(g, _id_of(g, nodes)))
+        full = _map_keys(g, triangles_dict(g))
+        if nodes is None:
+            return full
+        return {k: full[k] for k in nodes}
+
+    @staticmethod
+    def clustering(graph, nodes=None, weight=None):
+        from .pipelines.triangles import clustering, single_clustering
+        from .pipelines.cluster_directed import clustering_directed
+
+        g = convert_from_nx(graph, weight)
+        if g.directed:
+            res = _vertex_dict(g, clustering_directed(g), "clustering")
+        else:
+            if nodes is not None and not isinstance(nodes, (list, set, tuple)):
+                return float(
+                    single_clustering(g, _id_of(g, nodes), weighted=weight is not None)
+                )
+            res = _vertex_dict(g, clustering(g, weight=weight), "clustering")
+        if nodes is None:
+            return res
+        if not isinstance(nodes, (list, set, tuple)):
+            return res[nodes]
+        return {k: res[k] for k in nodes}
+
+    @staticmethod
+    def transitivity(graph):
+        from .pipelines.triangles import transitivity
+        from .pipelines.cluster_directed import transitivity_directed
+
+        g = convert_from_nx(graph, None)
+        return float(transitivity_directed(g) if g.directed else transitivity(g))
+
+    @staticmethod
+    def average_clustering(graph, nodes=None, weight=None, count_zeros=True):
+        from .pipelines.triangles import average_clustering
+        from .pipelines.cluster_directed import average_clustering_directed
+
+        g = convert_from_nx(graph, weight)
+        if g.directed:
+            return float(average_clustering_directed(g, count_zeros=count_zeros))
+        return float(average_clustering(g, count_zeros=count_zeros, weight=weight))
+
+    @staticmethod
+    def square_clustering(graph, nodes=None):
+        from .pipelines.squares import square_clustering
+
+        g = convert_from_nx(graph, None)
+        res = _vertex_dict(g, square_clustering(g), "square_clustering")
+        if nodes is None:
+            return res
+        if not isinstance(nodes, (list, set, tuple)):
+            return res[nodes]
+        return {k: res[k] for k in nodes}
+
+    @staticmethod
+    def generalized_degree(graph, nodes=None):
+        from .pipelines.core import generalized_degree
+        from .pipelines.triangles import single_generalized_degree
+
+        g = convert_from_nx(graph, None)
+        if nodes is not None and not isinstance(nodes, (list, set, tuple)):
+            return single_generalized_degree(g, _id_of(g, nodes))
+        df = generalized_degree(g).to_pandas()
+        out: dict = {}
+        for v, tc, ne in zip(df["v"], df["tri_count"], df["n_edges"]):
+            out.setdefault(_key_of(g, int(v)), {})[int(tc)] = int(ne)
+        if nodes is not None:
+            out = {k: out.get(k, {}) for k in nodes}
+        return out
+
+    @staticmethod
+    def k_truss(graph, k):
+        from .pipelines.core import k_truss
+
+        g = convert_from_nx(graph, None)
+        res = k_truss(g, k)
+        out = nx.Graph()
+        keys = getattr(g, "_id_to_key", None)
+        edges = res.edges_pandas()
+        for u, v in zip(edges["src"].astype(int), edges["dst"].astype(int)):
+            if u <= v:
+                a = keys[u] if keys else u
+                b = keys[v] if keys else v
+                out.add_edge(a, b)
+        return out
+
+    # -- components ----------------------------------------------------
+    @staticmethod
+    def is_connected(graph):
+        from .pipelines.components import is_connected
+
+        return bool(is_connected(convert_from_nx(graph, None)))
+
+    @staticmethod
+    def is_weakly_connected(graph):
+        from .pipelines.components import is_weakly_connected
+
+        return bool(is_weakly_connected(convert_from_nx(graph, None)))
+
+    @staticmethod
+    def node_connected_component(graph, n):
+        from .pipelines.components import node_connected_component
+
+        g = convert_from_nx(graph, None)
+        comp = node_connected_component(g, _id_of(g, n))
+        if hasattr(comp, "take_all"):  # Dataset of (v, ...) rows
+            comp = [r["v"] for r in comp.take_all()]
+        return {_key_of(g, int(v)) for v in comp}
+
+    # -- traversal / shortest paths -----------------------------------
+    @staticmethod
+    def single_source_shortest_path_length(graph, source, cutoff=None):
+        from .pipelines.traversal import bfs_levels
+
+        g = convert_from_nx(graph, None)
+        d = {
+            r["v"]: int(r["level"])
+            for r in bfs_levels(g, _id_of(g, source)).take_all()
+        }
+        if cutoff is not None:
+            d = {k: v for k, v in d.items() if v <= cutoff}
+        return _map_keys(g, d)
+
+    @staticmethod
+    def single_source_bellman_ford_path_length(graph, source, weight="weight"):
+        from .pipelines.shortest_paths import bellman_ford_dict
+
+        g = convert_from_nx(graph, weight)
+        return _map_keys(g, bellman_ford_dict(g, _id_of(g, source)))
+
+    @staticmethod
+    def bellman_ford_path(graph, source, target, weight="weight"):
+        from .pipelines.shortest_paths import bellman_ford_path
+
+        g = convert_from_nx(graph, weight)
+        path = bellman_ford_path(g, _id_of(g, source), _id_of(g, target))
+        return [_key_of(g, v) for v in path]
+
+    @staticmethod
+    def negative_edge_cycle(graph, weight="weight"):
+        from .pipelines.shortest_paths import negative_edge_cycle
+
+        return bool(negative_edge_cycle(convert_from_nx(graph, weight)))
+
+    @staticmethod
+    def descendants(graph, source):
+        from .pipelines.traversal import descendants
+
+        g = convert_from_nx(graph, None)
+        return {_key_of(g, v) for v in descendants(g, _id_of(g, source))}
+
+    @staticmethod
+    def ancestors(graph, source):
+        from .pipelines.traversal import ancestors
+
+        g = convert_from_nx(graph, None)
+        return {_key_of(g, v) for v in ancestors(g, _id_of(g, source))}
+
+    @staticmethod
+    def bfs_layers(graph, sources):
+        from .pipelines.traversal import bfs_layers
+
+        g = convert_from_nx(graph, None)
+        if isinstance(sources, (list, set, tuple)):
+            src = [_id_of(g, s) for s in sources]
+        else:
+            src = _id_of(g, sources)
+        for layer in bfs_layers(g, src):
+            yield [_key_of(g, v) for v in layer]
+
+    @staticmethod
+    def descendants_at_distance(graph, source, distance):
+        from .pipelines.traversal import descendants_at_distance
+
+        g = convert_from_nx(graph, None)
+        return {
+            _key_of(g, v)
+            for v in descendants_at_distance(g, _id_of(g, source), distance)
+        }
+
+    @staticmethod
+    def has_path(graph, source, target):
+        from .pipelines.traversal import has_path
+
+        g = convert_from_nx(graph, None)
+        return bool(has_path(g, _id_of(g, source), _id_of(g, target)))
+
+    # -- cuts / boundary ----------------------------------------------
+    @staticmethod
+    def cut_size(graph, S, T=None, weight=None):
+        from .pipelines.cuts import cut_size
+
+        g = convert_from_nx(graph, weight)
+        S2 = {_id_of(g, s) for s in S}
+        T2 = {_id_of(g, t) for t in T} if T is not None else None
+        return cut_size(g, S2, T2)
+
+    @staticmethod
+    def volume(graph, S, weight=None):
+        from .pipelines.cuts import volume
+
+        g = convert_from_nx(graph, weight)
+        return volume(g, {_id_of(g, s) for s in S})
+
+    @staticmethod
+    def conductance(graph, S, T=None, weight=None):
+        from .pipelines.cuts import conductance
+
+        g = convert_from_nx(graph, weight)
+        S2 = {_id_of(g, s) for s in S}
+        T2 = {_id_of(g, t) for t in T} if T is not None else None
+        return conductance(g, S2, T2)
+
+    @staticmethod
+    def normalized_cut_size(graph, S, T=None, weight=None):
+        from .pipelines.cuts import normalized_cut_size
+
+        g = convert_from_nx(graph, weight)
+        S2 = {_id_of(g, s) for s in S}
+        T2 = {_id_of(g, t) for t in T} if T is not None else None
+        return normalized_cut_size(g, S2, T2)
+
+    @staticmethod
+    def node_boundary(graph, nbunch1, nbunch2=None):
+        from .pipelines.cuts import node_boundary
+
+        g = convert_from_nx(graph, None)
+        S = {_id_of(g, s) for s in nbunch1}
+        out = node_boundary(g, S)
+        if nbunch2 is not None:
+            out = out & {_id_of(g, t) for t in nbunch2}
+        return {_key_of(g, v) for v in out}
+
+    @staticmethod
+    def edge_boundary(graph, nbunch1, nbunch2=None):
+        from .pipelines.cuts import edge_boundary
+
+        g = convert_from_nx(graph, None)
+        S = {_id_of(g, s) for s in nbunch1}
+        T = {_id_of(g, t) for t in nbunch2} if nbunch2 is not None else None
+        res = edge_boundary(g, S, T)
+        if hasattr(res, "take_all"):
+            rows = [(r["src"], r["dst"]) for r in res.take_all()]
+        else:
+            rows = list(res)
+        for u, v in rows:
+            yield (_key_of(g, int(u)), _key_of(g, int(v)))
+
+    # -- structure -----------------------------------------------------
+    @staticmethod
+    def reciprocity(graph, nodes=None):
+        from .pipelines.structure import overall_reciprocity, reciprocity
+
+        g = convert_from_nx(graph, None)
+        if nodes is None:
+            return float(overall_reciprocity(g))
+        if not isinstance(nodes, (list, set, tuple)):
+            res = _vertex_dict(g, reciprocity(g, nodes=[_id_of(g, nodes)]), "reciprocity")
+            return res[nodes]
+        res = _vertex_dict(
+            g, reciprocity(g, nodes=[_id_of(g, k) for k in nodes]), "reciprocity"
+        )
+        return res
+
+    @staticmethod
+    def overall_reciprocity(graph):
+        from .pipelines.structure import overall_reciprocity
+
+        return float(overall_reciprocity(convert_from_nx(graph, None)))
+
+    @staticmethod
+    def is_isolate(graph, n):
+        from .pipelines.structure import is_isolate
+
+        g = convert_from_nx(graph, None)
+        return bool(is_isolate(g, _id_of(g, n)))
+
+    @staticmethod
+    def isolates(graph):
+        from .pipelines.structure import isolates
+
+        g = convert_from_nx(graph, None)
+        for r in isolates(g).take_all():
+            yield _key_of(g, int(r["v"]))
+
+    @staticmethod
+    def number_of_isolates(graph):
+        from .pipelines.misc import number_of_isolates
+
+        return int(number_of_isolates(convert_from_nx(graph, None)))
+
+    @staticmethod
+    def is_regular(graph):
+        from .pipelines.structure import is_regular
+
+        return bool(is_regular(convert_from_nx(graph, None)))
+
+    @staticmethod
+    def is_tournament(graph):
+        from .pipelines.misc import is_tournament
+
+        return bool(is_tournament(convert_from_nx(graph, None)))

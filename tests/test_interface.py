@@ -1,0 +1,75 @@
+"""Dispatcher surface: nx graphs with arbitrary labels in, nx result
+shapes out — the reference's interface.py parity for the Ray engine."""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from graphblas_algorithms_ray.interface import Dispatcher as D, convert_from_nx
+
+
+def _labeled(directed=False, seed=1, p=0.12, n=30):
+    G = nx.gnp_random_graph(n, p, seed=seed, directed=directed)
+    return nx.relabel_nodes(G, {i: f"node{i:02d}" for i in G.nodes()})
+
+
+def test_dispatcher_pagerank_and_centrality():
+    G = _labeled(directed=True, seed=3)
+    pr = D.pagerank(G)
+    exp = nx.algorithms.link_analysis.pagerank_alg._pagerank_python(G)
+    assert set(pr) == set(exp)
+    for k in exp:
+        assert abs(pr[k] - exp[k]) < 1e-6
+    dc = D.degree_centrality(G)
+    exp_dc = nx.degree_centrality(G)
+    for k in exp_dc:
+        assert abs(dc[k] - exp_dc[k]) < 1e-12
+    assert D.in_degree_centrality(G).keys() == exp_dc.keys()
+
+
+def test_dispatcher_clustering_family():
+    G = _labeled(seed=4, p=0.2)
+    cl = D.clustering(G)
+    exp = nx.clustering(G)
+    for k in exp:
+        assert abs(cl[k] - exp[k]) < 1e-12
+    assert D.triangles(G) == nx.triangles(G)
+    assert D.triangles(G, "node05") == nx.triangles(G, "node05")
+    assert abs(D.clustering(G, "node05") - nx.clustering(G, "node05")) < 1e-12
+    assert abs(D.transitivity(G) - nx.transitivity(G)) < 1e-12
+    assert abs(D.average_clustering(G) - nx.average_clustering(G)) < 1e-12
+    kt = D.k_truss(G, 3)
+    exp_kt = nx.k_truss(G, 3)
+    assert set(map(frozenset, kt.edges())) == set(map(frozenset, exp_kt.edges()))
+
+
+def test_dispatcher_components_and_paths():
+    G = _labeled(seed=5, p=0.06)
+    assert D.is_connected(G) == nx.is_connected(G)
+    v = "node00"
+    assert D.node_connected_component(G, v) == nx.node_connected_component(G, v)
+    assert D.single_source_shortest_path_length(G, v) == nx.single_source_shortest_path_length(G, v)
+    GD = _labeled(directed=True, seed=6, p=0.08)
+    for u, w in GD.edges():
+        GD[u][w]["weight"] = 1.0 + (hash((u, w)) % 5)
+    got = D.single_source_bellman_ford_path_length(GD, "node01")
+    exp = nx.single_source_bellman_ford_path_length(GD, "node01")
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9
+    assert D.descendants(GD, "node01") == nx.descendants(GD, "node01")
+    assert list(D.bfs_layers(G, v)) == [sorted(l) for l in nx.bfs_layers(G, v)]
+
+
+def test_dispatcher_cuts_and_structure():
+    G = _labeled(seed=7, p=0.15)
+    S = [f"node{i:02d}" for i in range(0, 30, 3)]
+    assert D.cut_size(G, S) == nx.cut_size(G, S)
+    assert D.volume(G, S) == nx.volume(G, S)
+    assert set(D.node_boundary(G, S)) == nx.node_boundary(G, S)
+    assert set(D.edge_boundary(G, S)) == set(nx.edge_boundary(G, S))
+    GD = _labeled(directed=True, seed=8)
+    assert abs(D.reciprocity(GD) - nx.overall_reciprocity(GD)) < 1e-12
+    r = D.reciprocity(GD, ["node01", "node02"])
+    for k in r:
+        assert abs(r[k] - nx.reciprocity(GD, k)) < 1e-12
