@@ -396,6 +396,15 @@ def q_minhash_groups(sf_dir):
     return groups
 
 
+def q_ann_topk_lsh(sf_dir):
+    import ray.data
+
+    from .pipelines.ann import ann_topk_lsh
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_lsh(emb, [0, 1, 2], k=5, bits=6, hamming_probes=2)
+
+
 def q_simhash(sf_dir):
     from .pipelines.dedup import simhash_fingerprints
 
@@ -522,6 +531,7 @@ QUERIES = {
     "eigenvector_centrality": q_eigenvector,
     "katz_centrality": q_katz,
     "minhash_groups": q_minhash_groups,
+    "ann_topk_lsh": q_ann_topk_lsh,
     "simhash": q_simhash,
     "language_id": q_language_id,
     "laplacian": q_laplacian,

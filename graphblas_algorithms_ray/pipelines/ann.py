@@ -149,6 +149,82 @@ def lsh_buckets(embeddings: ray.data.Dataset, bits: int = 8, dim: int = 64) -> r
     return embeddings.map_batches(_Signature(planes_ref), batch_format="pyarrow")
 
 
+class _BucketFilter:
+    """Keep only rows whose LSH signature is in the candidate bucket set
+    (signatures recomputed per batch against the broadcast hyperplanes —
+    cheaper than shipping a bucket column through a join)."""
+
+    def __init__(self, planes_ref, buckets_ref):
+        self.planes_ref, self.buckets_ref = planes_ref, buckets_ref
+        self._p = None
+        self._b = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._p is None:
+            self._p = ray.get(self.planes_ref)
+            self._b = ray.get(self.buckets_ref)
+        m = _to_matrix(t["embedding"])
+        bits = (m @ self._p.T) > 0
+        sig = np.zeros(m.shape[0], dtype=np.int64)
+        for i in range(bits.shape[1]):
+            sig |= bits[:, i].astype(np.int64) << i
+        if self._b.size == 0:
+            return t.slice(0, 0)
+        pos = np.minimum(np.searchsorted(self._b, sig), self._b.size - 1)
+        return t.filter(pa.array(self._b[pos] == sig))
+
+
+def ann_topk_lsh(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    bits: int = 8,
+    hamming_probes: int = 1,
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k: only vectors whose random-hyperplane LSH
+    bucket is within `hamming_probes` bit flips of a query's bucket are
+    scanned (multi-probe IVF-style; scan fraction ≈ (1+bits)/2^bits at one
+    probe). Same output contract as ann_topk, approximate recall."""
+    wanted = set(int(i) for i in query_ids)
+
+    def _pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, list(wanted))))
+
+    q = embeddings.map_batches(_pick, batch_format="pyarrow").take_all()
+    qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q])
+    order = np.argsort(qids)
+    qids, qm = qids[order], qm[order]
+    dim = qm.shape[1]
+    planes = _hyperplanes(dim, bits)
+    qbits = (qm @ planes.T) > 0
+    qsig = np.zeros(qm.shape[0], dtype=np.int64)
+    for i in range(bits):
+        qsig |= qbits[:, i].astype(np.int64) << i
+    cand: set[int] = set(int(s) for s in qsig)
+    if hamming_probes >= 1:
+        for s in list(cand):
+            for b in range(bits):
+                cand.add(s ^ (1 << b))
+    if hamming_probes >= 2:
+        for s in [int(x) for x in qsig]:
+            for b1 in range(bits):
+                for b2 in range(b1 + 1, bits):
+                    cand.add(s ^ (1 << b1) ^ (1 << b2))
+    planes_ref = ray.put(planes)
+    buckets_ref = ray.put(np.array(sorted(cand), dtype=np.int64))
+    q_ref = ray.put((qids, qm))
+    partial = embeddings.map_batches(
+        _BucketFilter(planes_ref, buckets_ref), batch_format="pyarrow"
+    ).map_batches(_BatchTopK(q_ref, k), batch_format="pyarrow", batch_size=8192)
+    return partial.groupby("qid").map_groups(
+        named(_FinalTopK(k, round_to)), batch_format="pyarrow"
+    )
+
+
 def embedding_centroids(embeddings: ray.data.Dataset, label_col: str = "label") -> ray.data.Dataset:
     """(label, centroid list<double>, n): mean embedding per label —
     per-batch partial sums, one tiny combine."""

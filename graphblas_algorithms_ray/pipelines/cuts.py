@@ -27,6 +27,45 @@ def _as_pred(S):
     return pred
 
 
+def _set_size(G, S) -> int:
+    """|S| (or |pred-selected set|) without an O(n) driver array: explicit
+    sets count directly; predicates are evaluated per part in ray tasks."""
+    if not callable(S):
+        return len(set(S))
+    import ray
+
+    from .._util import universe
+
+    @ray.remote
+    def _count(k, n, P):
+        return int(S(universe(k, n, P)).sum())
+
+    G._ensure_built()
+    return int(sum(ray.get([_count.remote(k, G.n, G.num_parts) for k in range(G.num_parts)])))
+
+
+def _set_members(G, S) -> set:
+    """Materialize S as a set of ids (explicit sets pass through;
+    predicates are evaluated per part in ray tasks — O(|S|) to the
+    driver, never O(n))."""
+    if not callable(S):
+        return set(int(v) for v in S)
+    import ray
+
+    from .._util import universe
+
+    @ray.remote
+    def _members(k, n, P):
+        uni = universe(k, n, P)
+        return uni[S(uni)]
+
+    G._ensure_built()
+    out: set = set()
+    for arr in ray.get([_members.remote(k, G.n, G.num_parts) for k in range(G.num_parts)]):
+        out.update(int(v) for v in arr)
+    return out
+
+
 def edge_boundary(G, S, T=None) -> ray.data.Dataset:
     """Edges from S to T (default: complement of S) — ``boundary.py:7-20``."""
     G._ensure_built()
@@ -109,8 +148,8 @@ def edge_expansion(G, S, T=None) -> float:
     G._ensure_built()
     ps = _as_pred(S)
     pt = _as_pred(T) if T is not None else (lambda v: ~ps(v))
-    ns = int(ps(np.arange(G.n)).sum())
-    nt = int(pt(np.arange(G.n)).sum())
+    ns = _set_size(G, S if not callable(S) else ps)
+    nt = _set_size(G, T if (T is not None and not callable(T)) else pt)
     return cut_size(G, ps, pt) / min(ns, nt)
 
 
@@ -121,19 +160,27 @@ def mixing_expansion(G, S, T=None) -> float:
 
 
 def node_expansion(G, S) -> float:
-    """``cuts.py:71-73``: |N(S) ∪ S| / |S| (closed neighborhood)."""
+    """``cuts.py:71-73``: |N(S)| / |S| — the OUT-neighborhood of S
+    (⋃ successors, S-members included when they are someone's neighbor;
+    nx/reference ``any_pair(S @ A)`` semantics)."""
     G._ensure_built()
     ps = _as_pred(S)
-    base = set(int(v) for v in np.arange(G.n)[ps(np.arange(G.n))])
-    nb = node_boundary(G, ps)
-    return len(nb | base) / len(base)
+
+    def _nbrs(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.unique(d[ps(s)]))})
+
+    distinct = G.edges_ds().map_batches(_nbrs, batch_format="pyarrow").groupby("v").count()
+    n_nbrs = distinct.count()
+    return n_nbrs / _set_size(G, S if not callable(S) else ps)
 
 
 def boundary_expansion(G, S) -> float:
     """``cuts.py:76``: |∂S| / |S|."""
     G._ensure_built()
     ps = _as_pred(S)
-    base = int(ps(np.arange(G.n)).sum())
+    base = _set_size(G, S if not callable(S) else ps)
     return len(node_boundary(G, ps)) / base
 
 

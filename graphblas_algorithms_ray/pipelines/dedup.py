@@ -216,29 +216,49 @@ def minhash_near_duplicates(
 
 
 class _SimHash:
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import zlib
+    """Fully vectorized SimHash: Arrow whitespace tokenization, one polars
+    xxhash pass over the flat token array (deterministic across processes),
+    then 64 per-bit sign accumulations via np.bincount — no Python loop
+    over documents or tokens."""
 
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.compute as pc
+
+        t = t.combine_chunks()
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        out = np.zeros(len(ids), dtype=np.uint64)
-        for i, tx in enumerate(t["text"].to_pylist()):
-            toks = _TOKEN.findall(tx.lower())
-            if not toks:
-                continue
-            hs = np.array([zlib.crc32(w.encode()) for w in toks], dtype=np.uint64)
-            # widen to 64 bits deterministically
-            with np.errstate(over="ignore"):
-                hs = hs * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-                np.int64
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(t["text"]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets)
+        values = toks.values
+        row_lens = (offs[1:] - offs[:-1]).astype(np.int64)
+        doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), row_lens)
+        nonempty = pc.greater(pc.utf8_length(values), 0).to_numpy(zero_copy_only=False)
+        if nonempty.size and not nonempty.all():
+            values = values.filter(pa.array(nonempty))
+            doc_idx = doc_idx[nonempty]
+        if len(values) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "simhash": pa.array(np.zeros(len(ids), np.int64)),
+                }
             )
-            acc = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for b in range(64):
-                if acc[b] > 0:
-                    fp |= np.uint64(1) << np.uint64(b)
-            out[i] = fp
-        return pa.table({"doc_id": pa.array(ids), "simhash": pa.array(out.astype(np.int64))})
+        h = pl.from_arrow(values).hash(seed=42).to_numpy().astype(np.uint64)
+        acc_pos = np.zeros((64, t.num_rows), dtype=np.int64)
+        tok_counts = np.bincount(doc_idx, minlength=t.num_rows)
+        for b in range(64):
+            bit_b = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            acc_pos[b] = np.bincount(doc_idx, weights=bit_b, minlength=t.num_rows)
+        # sign sum = 2*ones - count; bit set where positive
+        fp = np.zeros(t.num_rows, dtype=np.uint64)
+        for b in range(64):
+            pos = (2 * acc_pos[b] - tok_counts) > 0
+            fp |= pos.astype(np.uint64) << np.uint64(b)
+        return pa.table(
+            {"doc_id": pa.array(ids), "simhash": pa.array(fp.astype(np.int64))}
+        )
 
 
 def simhash_fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:

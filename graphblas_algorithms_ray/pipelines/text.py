@@ -188,21 +188,36 @@ _LANG_MARKERS = {
 
 
 class _LangId:
+    """Vectorized marker-count language guess: one pc.count_substring pass
+    per (language, marker) over the whole batch — no Python loop over
+    documents (the marker table is the per-actor 'model' loaded once)."""
+
     def __init__(self):
         self.markers = {k: tuple(v) for k, v in _LANG_MARKERS.items()}
+        self.langs = list(self.markers)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        out = []
-        for tx in texts:
-            s = f" {tx.lower()} "
-            best, bestc = "unk", 0
-            for lang, ms in self.markers.items():
-                c = sum(s.count(m) for m in ms)
-                if c > bestc:
-                    best, bestc = lang, c
-            out.append(best)
-        return pa.table({"doc_id": t["doc_id"], "lang_pred": pa.array(out, pa.string())})
+        import pyarrow.compute as pc
+
+        padded = pc.binary_join_element_wise(
+            pa.array([" "] * t.num_rows),
+            pc.utf8_lower(t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]),
+            pa.array([" "] * t.num_rows),
+            "",
+        )
+        counts = np.zeros((len(self.langs), t.num_rows), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            for m in self.markers[lang]:
+                counts[li] += pc.count_substring(padded, m).to_numpy(
+                    zero_copy_only=False
+                )
+        best = np.argmax(counts, axis=0)
+        bestc = counts[best, np.arange(t.num_rows)]
+        langs_arr = np.array(self.langs, dtype=object)
+        out = np.where(bestc > 0, langs_arr[best], "unk")
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang_pred": pa.array(out.tolist(), pa.string())}
+        )
 
 
 def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:

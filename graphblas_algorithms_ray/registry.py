@@ -132,6 +132,18 @@ from .pipelines.triangles import (
     triangles,
 )
 from .pipelines.ann import ann_topk, embedding_centroids, lsh_buckets
+
+
+def _late(mod: str, name: str):
+    """Lazy registry entry (import at call time)."""
+    import importlib
+
+    def _f(*a, **kw):
+        m = importlib.import_module(f"graphblas_algorithms_ray.{mod}")
+        return getattr(m, name)(*a, **kw)
+
+    _f.__name__ = name
+    return _f
 from .pipelines.events import hourly_windows, sessionize
 
 ALGORITHMS = {
@@ -158,6 +170,10 @@ ALGORITHMS = {
     "lowest_common_ancestor": lowest_common_ancestor,
     # clustering / triangles
     "triangles": triangles,
+    "single_triangle": _late("pipelines.triangles", "single_triangle"),
+    "single_clustering": _late("pipelines.triangles", "single_clustering"),
+    "single_generalized_degree": _late("pipelines.triangles", "single_generalized_degree"),
+    "weighted_triangle_sums": _late("pipelines.triangles", "weighted_triangle_sums"),
     "total_triangles": total_triangles,
     "transitivity": transitivity,
     "transitivity_directed": transitivity_directed,
@@ -244,4 +260,15 @@ ALGORITHMS = {
     "lang_distribution": lang_distribution,
     "hourly_windows": hourly_windows,
     "sessionize": sessionize,
+    # per-node reciprocity + NodeSet algebra + nx-dispatch surface (r2)
+    "reciprocity": _late("pipelines.structure", "reciprocity"),
+    "set_isequal": _late("pipelines.nodeset", "set_isequal"),
+    "set_isdisjoint": _late("pipelines.nodeset", "set_isdisjoint"),
+    "set_issubset": _late("pipelines.nodeset", "set_issubset"),
+    "set_intersection_size": _late("pipelines.nodeset", "set_intersection_size"),
+    "set_union_size": _late("pipelines.nodeset", "set_union_size"),
+    "map_isequal": _late("pipelines.nodeset", "map_isequal"),
+    "bellman_ford_path_lengths": _late("pipelines.shortest_paths", "bellman_ford_path_lengths"),
+    "ann_topk_lsh": _late("pipelines.ann", "ann_topk_lsh"),
+    "language_id": _late("pipelines.text", "language_id"),
 }

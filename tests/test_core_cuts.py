@@ -80,3 +80,14 @@ def test_k_truss_k_below_3_identity():
         ours = _edges_und(k_truss(g, k))
         theirs = {(min(u, v), max(u, v)) for u, v in nx.k_truss(G, k).edges()}
         assert ours == theirs, f"k={k}"
+
+
+def test_expansions_vs_nx():
+    # node_expansion = |union of S's neighborhoods| / |S| (not boundary∪S)
+    G = nx.gnp_random_graph(40, 0.15, seed=3)
+    g = Graph(list(G.edges()), n=40, directed=False, num_parts=3)
+    S = set(range(0, 40, 4))
+    assert abs(cuts.node_expansion(g, S) - nx.node_expansion(G, S)) < 1e-12
+    assert abs(cuts.edge_expansion(g, S) - nx.edge_expansion(G, S)) < 1e-12
+    assert abs(cuts.boundary_expansion(g, S) - nx.boundary_expansion(G, S)) < 1e-12
+    assert abs(cuts.mixing_expansion(g, S) - nx.mixing_expansion(G, S)) < 1e-12

@@ -82,3 +82,35 @@ def test_lsh_buckets_deterministic():
     )
     bb = {r["vec_id"]: r["bucket"] for r in lsh_buckets(ds2, bits=8).take_all()}
     assert bb[0] == bb[1]
+
+
+def test_ann_topk_lsh_bucketed():
+    # planted near-duplicates: each query's top-1 must be its planted twin,
+    # and every returned score must equal the true cosine similarity
+    import ray.data
+    from graphblas_algorithms_ray.pipelines.ann import ann_topk, ann_topk_lsh
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(200, 32))
+    rows = []
+    for i in range(200):
+        rows.append({"vec_id": i, "embedding": base[i].tolist()})
+    for j, q in enumerate((0, 7, 42)):
+        rows.append(
+            {"vec_id": 200 + j, "embedding": (base[q] + rng.normal(scale=0.01, size=32)).tolist()}
+        )
+    ds = ray.data.from_items(rows)
+    res = ann_topk_lsh(ds, [200, 201, 202], k=3, bits=6, hamming_probes=2)
+    top = {}
+    for r in res.take_all():
+        top.setdefault(r["qid"], []).append((r["score"], r["nid"]))
+    for j, q in enumerate((0, 7, 42)):
+        assert max(top[200 + j])[1] == q, (j, top[200 + j])
+    # scores agree with the exact path for the pairs both return
+    exact = {
+        (r["qid"], r["nid"]): r["score"] for r in ann_topk(ds, [200, 201, 202], k=3).take_all()
+    }
+    for qid, lst in top.items():
+        for s, nid in lst:
+            if (qid, nid) in exact:
+                assert abs(s - exact[(qid, nid)]) < 1e-9
