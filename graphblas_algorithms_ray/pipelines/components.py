@@ -28,6 +28,12 @@ from ..stages.fixpoint import (
     latest_checkpoint,
 )
 
+
+def _fused_min_edges_cc() -> int:
+    from ..stages.bsp_actors import fused_min_edges
+
+    return fused_min_edges()
+
 _I64MAX = np.iinfo(np.int64).max
 
 
@@ -48,6 +54,89 @@ class _CCInit:
         if not out:
             return state_table(0, 0, np.empty(0, np.int64))
         return pa.concat_tables(out)
+
+
+class _CCDenseProg:
+    """Dense min-label CC for the fused mesh (bsp_actors.DensePool).
+
+    Messages worker→part j are dense int64 slabs over part j's universe
+    (I64MAX where nothing arrives), built with ONE gather + ONE
+    np.minimum.reduceat over a per-part edge layout precomputed once
+    (edges lexsorted by (dest part, dest local); segment = one distinct
+    destination). Combine is an elementwise min. Full re-send per round
+    (no frontier) — min-label CC converges in O(diameter-ish) rounds, and
+    a full round is one cheap edge stream; the row path keeps the
+    frontier optimization for the Dataset/checkpoint formulation."""
+
+    def __init__(self, csr_refs, n, P):
+        self.csr_refs = csr_refs
+        self.n, self.P = n, P
+        self._l = None
+
+    def _layout(self, part):
+        if self._l is None:
+            csr = ray.get(self.csr_refs[part])
+            P, n = self.P, self.n
+            dst = csr["dst"]
+            nrows = csr["srcs"].size
+            edge_row = np.repeat(np.arange(nrows, dtype=np.int64), csr["row_cnt"])
+            dpart = (dst % P).astype(np.int64)
+            dlocal = dst // P
+            order = np.lexsort((dlocal, dpart))
+            dpart_s, dlocal_s = dpart[order], dlocal[order]
+            # segment starts: first edge of each distinct (dpart, dlocal)
+            seg_start = np.ones(dst.size, dtype=bool)
+            if dst.size:
+                seg_start[1:] = (dpart_s[1:] != dpart_s[:-1]) | (
+                    dlocal_s[1:] != dlocal_s[:-1]
+                )
+            starts = np.nonzero(seg_start)[0]
+            seg_dlocal = dlocal_s[starts]
+            seg_dpart = dpart_s[starts]
+            pb = np.searchsorted(seg_dpart, np.arange(P + 1))
+            self._l = {
+                "srcs_local": csr["srcs"] // P,
+                "edge_row_sorted": edge_row[order],
+                "starts": starts,
+                "seg_dlocal": seg_dlocal,
+                "part_bounds": pb,
+                "usizes": [universe_size(j, n, P) for j in range(P)],
+            }
+        return self._l
+
+    def init_state(self, part):
+        return universe(part, self.n, self.P).astype(np.int64)
+
+    def make_pieces(self, part, x, gscalars):
+        l = self._layout(part)
+        if l["starts"].size == 0:
+            return [None] * self.P, {}
+        ev = x[l["srcs_local"]][l["edge_row_sorted"]]
+        seg_min = np.minimum.reduceat(ev, l["starts"])
+        pb = l["part_bounds"]
+        pieces = []
+        for j in range(self.P):
+            s0, s1 = int(pb[j]), int(pb[j + 1])
+            if s1 > s0:
+                slab = np.full(l["usizes"][j], _I64MAX, dtype=np.int64)
+                slab[l["seg_dlocal"][s0:s1]] = seg_min[s0:s1]
+                pieces.append(slab)
+            else:
+                pieces.append(None)
+        return pieces, {}
+
+    def combine(self, part, pieces, gscalars, x_prev):
+        new = x_prev
+        for p in pieces:
+            new = np.minimum(new, p)
+        changed = int((new < x_prev).sum())
+        return new, {STAT_CHANGED: float(changed)}
+
+    def extract(self, part, x):
+        uni = universe(part, self.n, self.P)
+        return pa.table(
+            {"v": pa.array(uni, pa.int64()), "component": pa.array(x, pa.int64())}
+        )
 
 
 class _CCSpMV:
@@ -160,6 +249,29 @@ def connected_components(
             .map_batches(_CCInit(n, P), batch_format="pyarrow")
             .materialize()
         )
+
+    no_ckpt = not checkpoint_dir and not checkpoint_every and not resume
+    if no_ckpt and (
+        executor == "actors_dense"
+        or (executor == "actors" and g.m >= _fused_min_edges_cc())
+    ):
+        # dense min-label mesh — the large-graph throughput path
+        from ..stages.bsp_actors import DensePool, StatBelow
+
+        pool = DensePool(P, _CCDenseProg(g.csr_refs, n, P))
+        it = 0
+        while True:
+            k = 8 if max_iter is None else max(1, min(8, max_iter - it))
+            hist, done, stopped = pool.run_fused(
+                k, StatBelow(STAT_CHANGED, 0.5), start_step=it
+            )
+            it += done
+            changed = hist.get(it - 1, {}).get(STAT_CHANGED, 0.0)
+            if stopped or changed == 0.0:
+                break
+            if max_iter is not None and it >= max_iter:
+                break
+        return pool.extract()
 
     if executor in ("actors", "actors_fused"):
         from ..stages.bsp_actors import BSPPool, StatBelow, fused_min_edges

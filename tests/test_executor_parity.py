@@ -83,3 +83,10 @@ def test_dense_executor_parity():
     np.testing.assert_allclose(
         [aw[v] for v in sorted(aw)], [bw[v] for v in sorted(bw)], atol=1e-12, rtol=0
     )
+
+
+def test_cc_dense_executor_parity():
+    # dense min-label mesh must match the Dataset executor EXACTLY
+    G = nx.gnp_random_graph(200, 0.012, seed=41)
+    g = Graph(list(G.edges()), n=200, directed=False, num_parts=4)
+    assert components_dict(g) == components_dict(g, executor="actors_dense")
