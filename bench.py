@@ -31,10 +31,14 @@ def run_bench() -> dict:
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
-            # mid-size BSP exchange pieces (actor-mesh deposits) ride inline
-            # in gRPC instead of round-tripping plasma: ~5x fewer per-object
-            # costs for the P^2 superstep exchange
-            _system_config={"max_direct_call_object_size": 4 * 1024 * 1024},
+            # mid-size BSP exchange pieces (actor-mesh deposits, 129-500 KB
+            # dense slabs) ride inline in gRPC instead of round-tripping
+            # plasma: ~5x fewer per-object costs for the mesh exchange.
+            # Keep the threshold BELOW ~1 MB: multi-MB whole-table returns
+            # (the small-graph driver-dense path) must stay in plasma, or
+            # they come back inline to the driver and get duplicated into
+            # every downstream task spec (measured 8x slowdown at 4 MiB).
+            _system_config={"max_direct_call_object_size": 256 * 1024},
         )
     from ray.data import DataContext
 
