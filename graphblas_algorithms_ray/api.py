@@ -851,6 +851,27 @@ SELECT v, MIN(level)::BIGINT AS level FROM walk GROUP BY v ORDER BY v""",
     "eigenvector_centrality": _eigenvector_sql(),
     "katz_centrality": _katz_sql(),
     "hits": _hits_sql(),
+    "language_id": """WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS s FROM documents),
+c AS (SELECT doc_id, (length(s)-length(replace(s,' the ','')))/5 + (length(s)-length(replace(s,' and ','')))/5 + (length(s)-length(replace(s,' of ','')))/4 + (length(s)-length(replace(s,' is ','')))/4 AS c_en, (length(s)-length(replace(s,' der ','')))/5 + (length(s)-length(replace(s,' und ','')))/5 + (length(s)-length(replace(s,' die ','')))/5 + (length(s)-length(replace(s,' ist ','')))/5 AS c_de, (length(s)-length(replace(s,' le ','')))/4 + (length(s)-length(replace(s,' la ','')))/4 + (length(s)-length(replace(s,' et ','')))/4 + (length(s)-length(replace(s,' est ','')))/5 AS c_fr FROM t)
+SELECT doc_id,
+       CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en > 0 THEN 'en'
+            WHEN c_de >= c_fr AND c_de > 0 THEN 'de'
+            WHEN c_fr > 0 THEN 'fr'
+            ELSE 'unk' END AS lang_pred
+FROM c ORDER BY doc_id""",
+    "embedding_centroids": """WITH ex AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings),
+per_dim AS (
+  SELECT label, i, ROUND(SUM(x) / COUNT(*), 6) AS c
+  FROM ex GROUP BY label, i),
+cnt AS (SELECT label, COUNT(*)::BIGINT AS n FROM embeddings GROUP BY label)
+SELECT per_dim.label::BIGINT AS label,
+       list(c ORDER BY i) AS centroid,
+       MIN(cnt.n) AS n
+FROM per_dim JOIN cnt USING (label)
+GROUP BY per_dim.label ORDER BY per_dim.label""",
     "reciprocity_per_node": f"""WITH {_G},
 rec AS (SELECT e1.src AS v, COUNT(*)::DOUBLE AS r FROM edges e1
   JOIN edges e2 ON e2.src = e1.dst AND e2.dst = e1.src GROUP BY e1.src),
