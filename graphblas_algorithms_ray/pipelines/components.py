@@ -71,10 +71,12 @@ class _CCDenseProg:
     def __init__(self, csr_refs, n, P):
         self.csr_refs = csr_refs
         self.n, self.P = n, P
-        self._l = None
+        # keyed by part: a _DenseWorker owns range(aid, P, A) parts, so a
+        # single cached layout would reuse the first part's edges for all.
+        self._l = {}
 
     def _layout(self, part):
-        if self._l is None:
+        if part not in self._l:
             csr = ray.get(self.csr_refs[part])
             P, n = self.P, self.n
             dst = csr["dst"]
@@ -94,7 +96,7 @@ class _CCDenseProg:
             seg_dlocal = dlocal_s[starts]
             seg_dpart = dpart_s[starts]
             pb = np.searchsorted(seg_dpart, np.arange(P + 1))
-            self._l = {
+            self._l[part] = {
                 "srcs_local": csr["srcs"] // P,
                 "edge_row_sorted": edge_row[order],
                 "starts": starts,
@@ -102,10 +104,16 @@ class _CCDenseProg:
                 "part_bounds": pb,
                 "usizes": [universe_size(j, n, P) for j in range(P)],
             }
-        return self._l
+        return self._l[part]
 
     def init_state(self, part):
         return universe(part, self.n, self.P).astype(np.int64)
+
+    @staticmethod
+    def merge_pieces(cur, arr):
+        # local pre-combine across a worker's owned parts: elementwise min
+        # (the default additive merge would overflow the I64MAX sentinels)
+        return np.minimum(cur, arr)
 
     def make_pieces(self, part, x, gscalars):
         l = self._layout(part)

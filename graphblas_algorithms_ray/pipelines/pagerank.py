@@ -217,10 +217,14 @@ class _PRDenseProg:
         self.n, self.P, self.alpha = n, P, alpha
         self.p_ref, self.dw_ref, self.x0_ref = p_ref, dw_ref, x0_ref
         self.weighted = weighted
-        self._l = None  # per-worker layout, built once per actor
+        # per-part layouts, built once per actor PER OWNED PART — a
+        # _DenseWorker owns every part in range(aid, P, A), so the cache
+        # must be keyed by part (a single cached layout silently reuses
+        # part 0's edges for all owned parts when A < P).
+        self._l = {}
 
     def _layout(self, part):
-        if self._l is None:
+        if part not in self._l:
             csr = ray.get(self.csr_refs[part])
             aux = ray.get(self.aux_refs[part])
             P, n = self.P, self.n
@@ -245,7 +249,7 @@ class _PRDenseProg:
             # (no np.repeat temporary)
             nrows = csr["srcs"].size
             edge_row = np.repeat(np.arange(nrows, dtype=np.int64), csr["row_cnt"])[order]
-            self._l = {
+            self._l[part] = {
                 "srcs_local": csr["srcs"] // P,
                 "row_wsum": csr["row_wsum"],
                 "edge_row": edge_row,
@@ -259,7 +263,7 @@ class _PRDenseProg:
                 "p_k": p_k,
                 "dw_k": dw_k,
             }
-        return self._l
+        return self._l[part]
 
     def init_state(self, part):
         usize = universe_size(part, self.n, self.P)

@@ -437,6 +437,11 @@ class _DenseWorker:
 
     async def run_chunk(self, k: int, stop_fn=None, start_step: int = 0, round_base: int = 0):
         prog = self.prog
+        # How two slabs headed for the same destination part merge locally
+        # (pre-aggregation across this worker's owned parts). Additive for
+        # PageRank-style programs; a min-program (CC) MUST override via a
+        # `merge_pieces` attribute or I64MAX sentinels overflow on +=.
+        merge = getattr(prog, "merge_pieces", None)
         if not self.x:
             self.x = {p: prog.init_state(p) for p in self.parts}
         hist: dict[int, dict[int, float]] = {}
@@ -460,6 +465,8 @@ class _DenseWorker:
                     cur = dest.get(j)
                     if cur is None:
                         dest[j] = arr
+                    elif merge is not None:
+                        dest[j] = merge(cur, arr)
                     else:
                         cur += arr
             payload = {("sc", sid): v for sid, v in scal.items()}

@@ -90,3 +90,31 @@ def test_cc_dense_executor_parity():
     G = nx.gnp_random_graph(200, 0.012, seed=41)
     g = Graph(list(G.edges()), n=200, directed=False, num_parts=4)
     assert components_dict(g) == components_dict(g, executor="actors_dense")
+
+
+def test_dense_multi_part_per_worker_parity():
+    # ADVICE r2 (high): with A actors < P parts each _DenseWorker owns
+    # several parts (range(aid, P, A)); the per-part layout cache must be
+    # keyed by part or every part silently reuses part 0's edges. Use
+    # n % P != 0 so universe sizes differ (shape mismatch would raise) AND
+    # check values, which catches the equal-universe silent-wrong case too.
+    import os
+
+    old = os.environ.get("GRAFT_DENSE_ACTORS")
+    os.environ["GRAFT_DENSE_ACTORS"] = "2"
+    try:
+        G = nx.gnp_random_graph(150, 0.06, seed=51, directed=True)
+        g = Graph.from_networkx(G, num_parts=8)  # 150 % 8 != 0, A=2 < P=8
+        a = pagerank_dict(g)
+        b = pagerank_dict(g, executor="actors_dense")
+        np.testing.assert_allclose(
+            [a[v] for v in sorted(a)], [b[v] for v in sorted(b)], atol=1e-12, rtol=0
+        )
+        G2 = nx.gnp_random_graph(200, 0.012, seed=52)
+        g2 = Graph(list(G2.edges()), n=200, directed=False, num_parts=8)  # 200 % 8 == 0
+        assert components_dict(g2) == components_dict(g2, executor="actors_dense")
+    finally:
+        if old is None:
+            os.environ.pop("GRAFT_DENSE_ACTORS", None)
+        else:
+            os.environ["GRAFT_DENSE_ACTORS"] = old
