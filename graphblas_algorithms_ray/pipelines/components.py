@@ -245,25 +245,13 @@ def connected_components(
     if n == 0:
         raise ValueError("null graph (PointlessConcept)")
 
-    start_it, state = 0, None
-    if resume and checkpoint_dir:
-        ck = latest_checkpoint(checkpoint_dir)
-        if ck is not None:
-            start_it, state, stats = ck
-            start_it += 1
-    if state is None:
-        state = (
-            ray.data.range(P, override_num_blocks=P)
-            .map_batches(_CCInit(n, P), batch_format="pyarrow")
-            .materialize()
-        )
-
     no_ckpt = not checkpoint_dir and not checkpoint_every and not resume
     if no_ckpt and (
         executor == "actors_dense"
         or (executor == "actors" and g.m >= _fused_min_edges_cc())
     ):
-        # dense min-label mesh — the large-graph throughput path
+        # dense min-label mesh — the large-graph throughput path (checked
+        # before any row-state init; the mesh builds its own state)
         from ..stages.bsp_actors import DensePool, StatBelow
 
         pool = DensePool(P, _CCDenseProg(g.csr_refs, n, P))
@@ -280,6 +268,19 @@ def connected_components(
             if max_iter is not None and it >= max_iter:
                 break
         return pool.extract()
+
+    start_it, state = 0, None
+    if resume and checkpoint_dir:
+        ck = latest_checkpoint(checkpoint_dir)
+        if ck is not None:
+            start_it, state, stats = ck
+            start_it += 1
+    if state is None:
+        state = (
+            ray.data.range(P, override_num_blocks=P)
+            .map_batches(_CCInit(n, P), batch_format="pyarrow")
+            .materialize()
+        )
 
     if executor in ("actors", "actors_fused"):
         from ..stages.bsp_actors import BSPPool, StatBelow, fused_min_edges

@@ -132,6 +132,96 @@ class _LPACombine:
         return pa.concat_tables(out)
 
 
+class _LPADenseProg:
+    """Dense-layout LPA for the fused mesh (bsp_actors.DensePool).
+
+    Messages worker→part j are pre-combined ``(key, count)`` pairs with
+    ``key = dst_local * n + label`` (sorted unique int64 keys — valid while
+    (n/P)·n < 2^63, i.e. n ≲ 3e9·√P). Per superstep: ONE fancy-index gather
+    of per-edge source labels over a per-part edge layout precomputed once
+    (edges sorted by destination part), then ``np.unique`` per destination
+    slice for the local (dst,label) count combiner. Combine re-aggregates
+    counts across workers and picks max-count / min-label per destination
+    (the deterministic synchronous rule above). ``merge_pieces`` overrides
+    the mesh's additive slab merge — counts concatenate and re-unique."""
+
+    def __init__(self, csr_refs, n, P):
+        self.csr_refs = csr_refs
+        self.n, self.P = n, P
+        self._l = {}  # keyed by part: workers own range(aid, P, A) parts
+
+    def _layout(self, part):
+        if part not in self._l:
+            csr = ray.get(self.csr_refs[part])
+            P = self.P
+            dst = csr["dst"]
+            nrows = csr["srcs"].size
+            edge_row = np.repeat(np.arange(nrows, dtype=np.int64), csr["row_cnt"])
+            dpart = (dst % P).astype(np.int64)
+            order = np.argsort(dpart, kind="stable")
+            self._l[part] = {
+                "srcs_local": csr["srcs"] // P,
+                "edge_row": edge_row[order],
+                "dlocal": (dst // P)[order],
+                "bounds": np.searchsorted(dpart[order], np.arange(P + 1)),
+            }
+        return self._l[part]
+
+    def init_state(self, part):
+        return universe(part, self.n, self.P).astype(np.int64)
+
+    @staticmethod
+    def merge_pieces(cur, arr):
+        k = np.concatenate([cur[0], arr[0]])
+        c = np.concatenate([cur[1], arr[1]])
+        uk, inv = np.unique(k, return_inverse=True)
+        out = np.zeros(uk.size, dtype=np.int64)
+        np.add.at(out, inv, c)
+        return (uk, out)
+
+    def make_pieces(self, part, x, gscalars):
+        l = self._layout(part)
+        lab = x[l["srcs_local"]][l["edge_row"]]
+        b = l["bounds"]
+        n = self.n
+        pieces = []
+        for j in range(self.P):
+            s0, s1 = int(b[j]), int(b[j + 1])
+            if s1 > s0:
+                key = l["dlocal"][s0:s1] * n + lab[s0:s1]
+                uk, cnt = np.unique(key, return_counts=True)
+                pieces.append((uk, cnt.astype(np.int64)))
+            else:
+                pieces.append(None)
+        return pieces, {}
+
+    def combine(self, part, pieces, gscalars, x_prev):
+        live = [p for p in pieces if p is not None]
+        new = x_prev.copy()  # vertices with no in-messages keep their label
+        if live:
+            k = np.concatenate([p[0] for p in live])
+            c = np.concatenate([p[1] for p in live])
+            uk, inv = np.unique(k, return_inverse=True)
+            csum = np.zeros(uk.size, dtype=np.int64)
+            np.add.at(csum, inv, c)
+            # winner per dst: max count, tie → min label. uk ascending =
+            # (dst, label) ascending; stable sort by -count keeps label
+            # ascending within equal counts; first occurrence per dst wins.
+            order = np.argsort(-csum, kind="stable")
+            ko = uk[order]
+            dso, lso = ko // self.n, ko % self.n
+            _, first = np.unique(dso, return_index=True)
+            new[dso[first]] = lso[first]
+        changed = int((new != x_prev).sum())
+        return new, {STAT_CHANGED: float(changed)}
+
+    def extract(self, part, x):
+        uni = universe(part, self.n, self.P)
+        return pa.table(
+            {"v": pa.array(uni, pa.int64()), "label": pa.array(x, pa.int64())}
+        )
+
+
 def label_propagation(G, max_iter: int = 30, chain: int = 5, executor: str = "dataset"):
     """Community labels after synchronous LPA; Dataset (v, label).
 
@@ -143,20 +233,43 @@ def label_propagation(G, max_iter: int = 30, chain: int = 5, executor: str = "da
     g = G.to_undirected() if G.directed else G
     g._ensure_built()
     n, P = g.n, g.num_parts
+
+    from ..stages.bsp_actors import fused_min_edges
+
+    if executor == "actors_dense" or (
+        executor == "actors" and g.m >= fused_min_edges()
+    ):
+        # dense-layout fused mesh — the large-graph throughput path
+        # (checked before any row-state init; the mesh builds its own state)
+        from ..stages.bsp_actors import DensePool, StatBelow
+
+        pool = DensePool(P, _LPADenseProg(g.csr_refs, n, P))
+        it = 0
+        while it < max_iter:
+            k = min(8, max_iter - it)
+            hist, done, stopped = pool.run_fused(
+                k, StatBelow(STAT_CHANGED, 0.5), start_step=it
+            )
+            it += done
+            changed = hist.get(it - 1, {}).get(STAT_CHANGED, 0.0)
+            if stopped or changed == 0.0:
+                break
+        return pool.extract()
+
     state = (
         ray.data.range(P, override_num_blocks=P)
         .map_batches(_LPAInit(n, P), batch_format="pyarrow")
         .materialize()
     )
     if executor in ("actors", "actors_fused"):
-        from ..stages.bsp_actors import BSPPool, StatBelow, fused_min_edges
+        from ..stages.bsp_actors import BSPPool, StatBelow
 
         pool = BSPPool.shared(P, state)
         pool.register(
             _LPASpMV(g.csr_refs, P, drop_stale_stats=True),
             _LPACombine(n, P, superstep=0),
         )
-        use_fused = executor == "actors_fused" or g.m >= fused_min_edges()
+        use_fused = executor == "actors_fused"
         try:
             it = 0
             stop = StatBelow(STAT_CHANGED, 0.5)  # changed == 0

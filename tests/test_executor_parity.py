@@ -92,6 +92,20 @@ def test_cc_dense_executor_parity():
     assert components_dict(g) == components_dict(g, executor="actors_dense")
 
 
+def test_lpa_dense_executor_parity():
+    # dense-layout LPA mesh must match the Dataset executor EXACTLY
+    G = nx.ring_of_cliques(6, 5)
+    g = Graph(list(G.edges()), n=30, directed=False, num_parts=4)
+    assert label_propagation_dict(g, max_iter=15) == label_propagation_dict(
+        g, max_iter=15, executor="actors_dense"
+    )
+    G2 = nx.gnp_random_graph(200, 0.02, seed=61)
+    g2 = Graph(list(G2.edges()), n=200, directed=False, num_parts=4)
+    assert label_propagation_dict(g2, max_iter=20) == label_propagation_dict(
+        g2, max_iter=20, executor="actors_dense"
+    )
+
+
 def test_dense_multi_part_per_worker_parity():
     # ADVICE r2 (high): with A actors < P parts each _DenseWorker owns
     # several parts (range(aid, P, A)); the per-part layout cache must be
@@ -113,6 +127,11 @@ def test_dense_multi_part_per_worker_parity():
         G2 = nx.gnp_random_graph(200, 0.012, seed=52)
         g2 = Graph(list(G2.edges()), n=200, directed=False, num_parts=8)  # 200 % 8 == 0
         assert components_dict(g2) == components_dict(g2, executor="actors_dense")
+        G3 = nx.gnp_random_graph(150, 0.03, seed=53)
+        g3 = Graph(list(G3.edges()), n=150, directed=False, num_parts=8)
+        assert label_propagation_dict(g3, max_iter=15) == label_propagation_dict(
+            g3, max_iter=15, executor="actors_dense"
+        )
     finally:
         if old is None:
             os.environ.pop("GRAFT_DENSE_ACTORS", None)
