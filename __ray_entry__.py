@@ -26,14 +26,19 @@ def entry() -> Any:
     from graphblas_algorithms_ray.sources.extract import graph_from_corpus
     from graphblas_algorithms_ray.pipelines.pagerank import pagerank
 
+    from graphblas_algorithms_ray.stages.hashjoin import lookup_join
+
     corpus = ray.data.read_parquet(corpus_parquet(1000))
     g, dictionary = graph_from_corpus(corpus, num_parts=8)
     pr = pagerank(g)
-    # join scores back to urls through the vertex dictionary (small side)
-    scores = pr.to_pandas()
-    urls = dictionary.to_pandas()
-    out = urls.merge(scores, left_on="vid", right_on="v")[["url", "pagerank"]]
-    return out.sort_values("pagerank", ascending=False).head(1000).reset_index(drop=True)
+    # join scores back to urls fully distributed (bucketed hash join —
+    # both sides have one row per vertex; neither touches the driver),
+    # then a distributed top-k; only the final 1000 rows materialize.
+    joined = lookup_join(pr, "v", dictionary, "vid", "url", "url")
+    top = joined.select_columns(["url", "pagerank"]).sort(
+        "pagerank", descending=True
+    ).limit(1000)
+    return top.to_pandas().reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
