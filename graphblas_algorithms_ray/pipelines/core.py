@@ -19,7 +19,13 @@ import ray.data
 
 from .._util import named
 from ..state.graph import Graph
-from .triangles import _WedgeGen, _forward_graph
+from .triangles import (
+    _WedgeGen,
+    _WedgeProbeEdges,
+    _forward_graph,
+    _probe_key_refs,
+    _tri_exchange,
+)
 
 
 class _ProbeEdgeSupport:
@@ -100,14 +106,20 @@ def edge_support(G) -> ray.data.Dataset:
     degree-rank space of pipelines/triangles (hub-safe orientation)."""
     g, fg, rank_ref, perm_ref = _forward_graph(G)
     P = fg.num_parts
-    wedges = ray.data.range(P, override_num_blocks=P).map_batches(
-        _WedgeGen(fg.csr_refs, P), batch_format="pyarrow"
-    )
-    counted = (
-        wedges.groupby("part")
-        .map_groups(named(_ProbeEdgeSupport(fg.csr_refs, fg.n, P)), batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(named(_SumEdgeSupport()), batch_format="pyarrow")
+    if _tri_exchange() == "shuffle":
+        wedges = ray.data.range(P, override_num_blocks=P).map_batches(
+            _WedgeGen(fg.csr_refs, P), batch_format="pyarrow"
+        )
+        support = wedges.groupby("part").map_groups(
+            named(_ProbeEdgeSupport(fg.csr_refs, fg.n, P)), batch_format="pyarrow"
+        )
+    else:
+        support = ray.data.range(P, override_num_blocks=P).map_batches(
+            _WedgeProbeEdges(fg.csr_refs, _probe_key_refs(fg), P, fg.n),
+            batch_format="pyarrow",
+        )
+    counted = support.groupby("part").map_groups(
+        named(_SumEdgeSupport()), batch_format="pyarrow"
     )
 
     class _Back:

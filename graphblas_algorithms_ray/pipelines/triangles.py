@@ -109,57 +109,261 @@ def _forward_graph(G):
 
 
 class _WedgeGen:
-    """Yield wedge chunks (part(a), a, b, corner u) from forward CSR shards."""
+    """Yield wedge chunks (part(a), a, b, corner u) from forward CSR shards.
 
-    def __init__(self, csr_refs, num_parts):
+    Vectorized two-level range expansion (no Python loop over rows): each
+    row with forward degree d emits heads h = 0..d-2, each head pairs with
+    partners h+1..d-1 — two ``concat_ranges`` + two ``np.repeat`` per
+    chunk. Chunks are ROW RANGES carrying ~_CHUNK_PAIRS wedges each; a
+    single hub row may overshoot, but its pair count is bounded by the
+    arboricity ordering."""
+
+    def __init__(self, csr_refs, num_parts, with_weights: bool = False, max_w: float = 1.0):
         self.csr_refs = csr_refs
         self.P = num_parts
+        self.with_weights = with_weights
+        self.max_w = max_w
+
+    def _wedge_chunks(self, csr):
+        """Yield (a, b, u, wp) numpy chunks; wp is None unless weighted
+        (then wp = ŵ_ua · ŵ_ub with ŵ = w / max_w)."""
+        from .._util import concat_ranges
+
+        srcs, indptr, dst = csr["srcs"], csr["indptr"], csr["dst"]
+        w = csr.get("weight") if self.with_weights else None
+        deg = np.diff(indptr)
+        rows = np.nonzero(deg >= 2)[0]
+        if rows.size == 0:
+            return
+        dr = deg[rows]
+        cum = np.cumsum(dr * (dr - 1) // 2)  # pair counts, cumulative
+        start = 0
+        while start < rows.size:
+            base = int(cum[start - 1]) if start else 0
+            stop = int(np.searchsorted(cum, base + _CHUNK_PAIRS, side="left")) + 1
+            stop = min(max(stop, start + 1), rows.size)
+            r = rows[start:stop]
+            dc = deg[r]
+            heads_len = dc - 1
+            head_row = np.repeat(r, heads_len)
+            head_local = concat_ranges(np.zeros(r.size, np.int64), heads_len)
+            lens2 = np.repeat(dc, heads_len) - 1 - head_local
+            pair_row = np.repeat(head_row, lens2)
+            a_local = np.repeat(head_local, lens2)
+            b_local = concat_ranges(head_local + 1, lens2)
+            off = indptr[pair_row]
+            a = dst[off + a_local]
+            b = dst[off + b_local]
+            u = srcs[pair_row]
+            wp = None
+            if w is not None:
+                wp = (w[off + a_local] / self.max_w) * (w[off + b_local] / self.max_w)
+            yield a, b, u, wp
+            start = stop
+
+    def __call__(self, t: pa.Table):
+        # legacy shuffle-path emitter (GRAFT_TRI_EXCHANGE=shuffle): wedge
+        # rows keyed by part(a) for the groupby→probe exchange
+        yielded = False
+        for k in t["id"].to_numpy(zero_copy_only=False):
+            csr = ray.get(self.csr_refs[int(k)])
+            for a, b, u, wp in self._wedge_chunks(csr):
+                cols = {
+                    "part": pa.array((a % self.P).astype(np.int32)),
+                    "a": pa.array(a),
+                    "b": pa.array(b),
+                    "u": pa.array(u),
+                }
+                if wp is not None:
+                    cols["wp"] = pa.array(wp)
+                yield pa.table(cols)
+                yielded = True
+        if not yielded:
+            cols = {
+                "part": pa.array([], pa.int32()),
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "u": pa.array([], pa.int64()),
+            }
+            if self.with_weights:
+                cols["wp"] = pa.array([], pa.float64())
+            yield pa.table(cols)
+
+
+@ray.remote
+def _build_shard_keys(csr, n):
+    """Sorted (src*n + dst) probe keys for one forward shard (CSR order is
+    already (src, dst)-sorted). Built once per graph; lives in plasma."""
+    cnt = np.diff(csr["indptr"])
+    return np.repeat(csr["srcs"], cnt) * np.int64(n) + csr["dst"]
+
+
+def _probe_key_refs(fg):
+    key = "probe_keys"
+    if key not in fg._cache:
+        fg._cache[key] = [_build_shard_keys.remote(r, fg.n) for r in fg.csr_refs]
+    return fg._cache[key]
+
+
+def _tri_exchange() -> str:
+    """'probe' (default): confirm closing edges INSIDE the wedge-generator
+    task against plasma-shared shard key arrays — wedge volume (O(Σ d+²)
+    rows, typically 10-30× the edge count) never enters a shuffle; only
+    pre-aggregated counts leave the task. Per-NODE memory: 8·m bytes of
+    keys (zero-copy plasma views; each cluster node fetches a shard at
+    most once). 'shuffle': the groupby(part)-exchange formulation — use
+    when 8·m per node does not fit (≳10^10 edges on 128 GiB nodes)."""
+    import os
+
+    return os.environ.get("GRAFT_TRI_EXCHANGE", "probe")
+
+
+class _WedgeProbe(_WedgeGen):
+    """Fused wedge-gen + closing-edge probe (no wedge shuffle); see
+    ``_tri_exchange``. Subclasses format the confirmed triangles."""
+
+    def __init__(self, csr_refs, key_refs, num_parts, n, with_weights=False, max_w=1.0):
+        super().__init__(csr_refs, num_parts, with_weights, max_w)
+        self.key_refs = key_refs
+        self.n = n
+        self._keys: dict[int, np.ndarray] = {}
+
+    def _kp(self, j: int) -> np.ndarray:
+        if j not in self._keys:
+            self._keys[j] = ray.get(self.key_refs[j])
+        return self._keys[j]
+
+    def _probe(self, a, b):
+        """(ok, pos): confirmed mask and per-hit position in part(a)'s
+        sorted key array (pos is only valid where ok)."""
+        want = a * np.int64(self.n) + b
+        parts = (a % self.P).astype(np.int64)
+        order = np.argsort(parts, kind="stable")
+        bounds = np.searchsorted(parts[order], np.arange(self.P + 1))
+        ok = np.zeros(a.size, dtype=bool)
+        pos = np.zeros(a.size, dtype=np.int64)
+        for j in range(self.P):
+            s0, s1 = int(bounds[j]), int(bounds[j + 1])
+            if s1 == s0:
+                continue
+            keys = self._kp(j)
+            if keys.size == 0:
+                continue
+            sel = order[s0:s1]
+            p = np.minimum(np.searchsorted(keys, want[sel]), keys.size - 1)
+            hit = keys[p] == want[sel]
+            ok[sel] = hit
+            pos[sel] = p
+        return ok, pos
 
     def __call__(self, t: pa.Table):
         yielded = False
         for k in t["id"].to_numpy(zero_copy_only=False):
             csr = ray.get(self.csr_refs[int(k)])
-            srcs, indptr, dst = csr["srcs"], csr["indptr"], csr["dst"]
-            bufs_a, bufs_b, bufs_u, size = [], [], [], 0
-            for i in range(srcs.size):
-                lo, hi = indptr[i], indptr[i + 1]
-                d = hi - lo
-                if d < 2:
-                    continue
-                nb = dst[lo:hi]
-                # all ordered pairs (a, b), a<b, from nb (nb is sorted)
-                ii, jj = np.triu_indices(d, k=1)
-                bufs_a.append(nb[ii])
-                bufs_b.append(nb[jj])
-                bufs_u.append(np.full(ii.size, srcs[i], np.int64))
-                size += ii.size
-                if size >= _CHUNK_PAIRS:
-                    yield self._emit(bufs_a, bufs_b, bufs_u)
-                    bufs_a, bufs_b, bufs_u, size = [], [], [], 0
+            for a, b, u, wp in self._wedge_chunks(csr):
+                out = self._emit_confirmed(a, b, u, wp)
+                if out is not None:
+                    yield out
                     yielded = True
-            if size:
-                yield self._emit(bufs_a, bufs_b, bufs_u)
-                yielded = True
         if not yielded:
-            yield pa.table(
-                {
-                    "part": pa.array([], pa.int32()),
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "u": pa.array([], pa.int64()),
-                }
-            )
+            yield self._empty()
 
-    def _emit(self, bufs_a, bufs_b, bufs_u):
-        a = np.concatenate(bufs_a)
-        b = np.concatenate(bufs_b)
-        u = np.concatenate(bufs_u)
+
+class _WedgeProbeCorners(_WedgeProbe):
+    """Per-corner triangle counts (part, v, c), pre-aggregated per chunk."""
+
+    def _empty(self):
+        return pa.table(
+            {"part": pa.array([], pa.int32()), "v": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+        )
+
+    def _emit_confirmed(self, a, b, u, wp):
+        ok, _ = self._probe(a, b)
+        if not ok.any():
+            return None
+        corners = np.concatenate([u[ok], a[ok], b[ok]])
+        uv, cnts = np.unique(corners, return_counts=True)
         return pa.table(
             {
-                "part": pa.array((a % self.P).astype(np.int32)),
-                "a": pa.array(a),
-                "b": pa.array(b),
-                "u": pa.array(u),
+                "part": pa.array((uv % self.P).astype(np.int32)),
+                "v": pa.array(uv),
+                "c": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+
+class _WedgeProbeCornersW(_WedgeProbe):
+    """Weighted corners: per-corner Σ cbrt(ŵ_ua·ŵ_ub·ŵ_ab) (part, v, c)."""
+
+    def __init__(self, csr_refs, key_refs, num_parts, n, max_w):
+        super().__init__(csr_refs, key_refs, num_parts, n, with_weights=True, max_w=max_w)
+        self._w: dict[int, np.ndarray] = {}
+
+    def _shard_w(self, j: int) -> np.ndarray:
+        if j not in self._w:
+            self._w[j] = ray.get(self.csr_refs[j])["weight"] / self.max_w
+        return self._w[j]
+
+    def _empty(self):
+        return pa.table(
+            {"part": pa.array([], pa.int32()), "v": pa.array([], pa.int64()), "c": pa.array([], pa.float64())}
+        )
+
+    def _emit_confirmed(self, a, b, u, wp):
+        ok, pos = self._probe(a, b)
+        if not ok.any():
+            return None
+        ao, bo, uo = a[ok], b[ok], u[ok]
+        w_ab = np.empty(ao.size, dtype=np.float64)
+        parts = (ao % self.P).astype(np.int64)
+        for j in np.unique(parts):
+            sel = parts == j
+            w_ab[sel] = self._shard_w(int(j))[pos[ok][sel]]
+        contrib = np.cbrt(wp[ok] * w_ab)
+        corners = np.concatenate([uo, ao, bo])
+        vals = np.concatenate([contrib, contrib, contrib])
+        uv, inv = np.unique(corners, return_inverse=True)
+        acc = np.zeros(uv.size, dtype=np.float64)
+        np.add.at(acc, inv, vals)
+        return pa.table(
+            {
+                "part": pa.array((uv % self.P).astype(np.int32)),
+                "v": pa.array(uv),
+                "c": pa.array(acc),
+            }
+        )
+
+
+class _WedgeProbeEdges(_WedgeProbe):
+    """Per-edge triangle supports (part, u, w, c): the three canonical
+    edges of each confirmed triangle, pre-aggregated per chunk."""
+
+    def _empty(self):
+        return pa.table(
+            {
+                "part": pa.array([], pa.int32()),
+                "u": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+
+    def _emit_confirmed(self, a, b, u, wp):
+        ok, _ = self._probe(a, b)
+        if not ok.any():
+            return None
+        ua, ub, uu = a[ok], b[ok], u[ok]
+        # three edges per triangle, already canonical (u<a<b in rank space)
+        eu = np.concatenate([uu, uu, ua])
+        ew = np.concatenate([ua, ub, ub])
+        key = eu * np.int64(self.n) + ew
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "part": pa.array(((uk // self.n) % self.P).astype(np.int32)),
+                "u": pa.array(uk // self.n),
+                "w": pa.array(uk % self.n),
+                "c": pa.array(cnt.astype(np.int64)),
             }
         )
 
@@ -211,62 +415,6 @@ class _ProbeAndCount:
 def _shard_max_weight(csr) -> float:
     w = csr.get("weight")
     return float(np.max(w)) if w is not None and np.size(w) else 0.0
-
-
-class _WedgeGenW(_WedgeGen):
-    """Weighted wedges: also emit wp = (w_ua/max_w)·(w_ub/max_w)."""
-
-    def __init__(self, csr_refs, num_parts, max_w):
-        super().__init__(csr_refs, num_parts)
-        self.max_w = max_w
-
-    def __call__(self, t: pa.Table):
-        yielded = False
-        for k in t["id"].to_numpy(zero_copy_only=False):
-            csr = ray.get(self.csr_refs[int(k)])
-            srcs, indptr, dst, w = csr["srcs"], csr["indptr"], csr["dst"], csr["weight"]
-            bufs, size = [], 0
-            for i in range(srcs.size):
-                lo, hi = indptr[i], indptr[i + 1]
-                d = hi - lo
-                if d < 2:
-                    continue
-                nb, nw = dst[lo:hi], w[lo:hi] / self.max_w
-                ii, jj = np.triu_indices(d, k=1)
-                bufs.append((nb[ii], nb[jj], np.full(ii.size, srcs[i], np.int64), nw[ii] * nw[jj]))
-                size += ii.size
-                if size >= _CHUNK_PAIRS:
-                    yield self._emit_w(bufs)
-                    bufs, size = [], 0
-                    yielded = True
-            if size:
-                yield self._emit_w(bufs)
-                yielded = True
-        if not yielded:
-            yield pa.table(
-                {
-                    "part": pa.array([], pa.int32()),
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "u": pa.array([], pa.int64()),
-                    "wp": pa.array([], pa.float64()),
-                }
-            )
-
-    def _emit_w(self, bufs):
-        a = np.concatenate([x[0] for x in bufs])
-        b = np.concatenate([x[1] for x in bufs])
-        u = np.concatenate([x[2] for x in bufs])
-        wp = np.concatenate([x[3] for x in bufs])
-        return pa.table(
-            {
-                "part": pa.array((a % self.P).astype(np.int32)),
-                "a": pa.array(a),
-                "b": pa.array(b),
-                "u": pa.array(u),
-                "wp": pa.array(wp),
-            }
-        )
 
 
 class _ProbeWeighted(_ProbeAndCount):
@@ -398,12 +546,19 @@ def weighted_triangle_sums(G) -> ray.data.Dataset:
     max_w = max(ray.get([_shard_max_weight.remote(r) for r in fg.csr_refs]) + [0.0])
     if max_w <= 0:
         max_w = 1.0
-    wedges = ray.data.range(P, override_num_blocks=P).map_batches(
-        _WedgeGenW(fg.csr_refs, P, max_w), batch_format="pyarrow"
-    )
-    counts = wedges.groupby("part").map_groups(
-        named(_ProbeWeighted(fg.csr_refs, fg.n, P, max_w)), batch_format="pyarrow"
-    )
+    if _tri_exchange() == "shuffle":
+        wedges = ray.data.range(P, override_num_blocks=P).map_batches(
+            _WedgeGen(fg.csr_refs, P, with_weights=True, max_w=max_w),
+            batch_format="pyarrow",
+        )
+        counts = wedges.groupby("part").map_groups(
+            named(_ProbeWeighted(fg.csr_refs, fg.n, P, max_w)), batch_format="pyarrow"
+        )
+    else:
+        counts = ray.data.range(P, override_num_blocks=P).map_batches(
+            _WedgeProbeCornersW(fg.csr_refs, _probe_key_refs(fg), P, fg.n, max_w),
+            batch_format="pyarrow",
+        )
     per_part = (
         counts.groupby("part")
         .map_groups(named(_SumPerVertex(fg.n, P, "tw")), batch_format="pyarrow")
@@ -417,13 +572,18 @@ def _corner_counts(G) -> tuple:
     space, pre-aggregated per probe)."""
     g, fg, rank_ref, perm_ref = _forward_graph(G)
     P = fg.num_parts
-    wedges = ray.data.range(P, override_num_blocks=P).map_batches(
-        _WedgeGen(fg.csr_refs, P), batch_format="pyarrow"
-    )
-    counts = (
-        wedges.groupby("part")
-        .map_groups(named(_ProbeAndCount(fg.csr_refs, fg.n, P)), batch_format="pyarrow")
-    )
+    if _tri_exchange() == "shuffle":
+        wedges = ray.data.range(P, override_num_blocks=P).map_batches(
+            _WedgeGen(fg.csr_refs, P), batch_format="pyarrow"
+        )
+        counts = wedges.groupby("part").map_groups(
+            named(_ProbeAndCount(fg.csr_refs, fg.n, P)), batch_format="pyarrow"
+        )
+    else:
+        counts = ray.data.range(P, override_num_blocks=P).map_batches(
+            _WedgeProbeCorners(fg.csr_refs, _probe_key_refs(fg), P, fg.n),
+            batch_format="pyarrow",
+        )
     return g, fg, rank_ref, perm_ref, counts
 
 
