@@ -32,96 +32,277 @@ _TOKEN = re.compile(r"\S+")
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    toks = _TOKEN.findall(text.lower())
-    if len(toks) < k:
-        toks = toks + ["$"] * (k - len(toks))
-    sh = [" ".join(toks[i : i + k]) for i in range(max(1, len(toks) - k + 1))]
-    import zlib
-
-    return np.unique(
-        np.array([zlib.crc32(s.encode()) for s in sh], dtype=np.uint64)
-    )
-
-
 def _perm_params(num_perm: int, seed: int = 11):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    # odd multipliers → x ↦ a·x + b is a bijection mod 2^64 (multiply-shift
+    # family); the uint64 wraparound IS the modulus, no explicit % needed
+    # (a 64-bit modulo per (shingle × perm) was the hot op of this stage)
+    a = (rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)) | np.uint64(1)
     b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
     return a, b
 
 
 class _MinHash:
+    """Batch-vectorized MinHash: Arrow tokenize (lower + whitespace split)
+    → ONE polars xxhash pass over the flat token array → rolling k-gram
+    hash (k gathers over the flat token-hash array) → per-doc sorted-unique
+    shingle hashes → affine permutations min-reduced per doc segment with
+    np.minimum.reduceat. No Python loop over documents or tokens (the
+    ``_SimHash`` pattern). Docs with < k tokens pad with "$" to exactly one
+    shingle (the round-1 semantics)."""
+
+    _PRIME = np.uint64(1099511628211)
+    _pad = None
+
     def __init__(self, num_perm: int, k: int):
         self.a, self.b = _perm_params(num_perm)
+        self.num_perm = num_perm
         self.k = k
 
+    @classmethod
+    def _pad_hash(cls) -> np.uint64:
+        if cls._pad is None:
+            import polars as pl
+
+            cls._pad = np.uint64(pl.Series(["$"]).hash(seed=7)[0])
+        return cls._pad
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.int64()), self.num_perm
+                ),
+                "shingles": pa.array([], pa.list_(pa.int64())),
+            }
+        )
+
     def __call__(self, t: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.compute as pc
+
+        from .._util import concat_ranges
+
+        t = t.combine_chunks()
+        nd = t.num_rows
+        if nd == 0:
+            return self._empty()
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sigs, shingles = [], []
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(t["text"]))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        values = toks.values
+        row_lens = offs[1:] - offs[:-1]
+        doc_idx = np.repeat(np.arange(nd, dtype=np.int64), row_lens)
+        nonempty = pc.greater(pc.utf8_length(values), 0).to_numpy(zero_copy_only=False)
+        if nonempty.size and not nonempty.all():
+            values = values.filter(pa.array(nonempty))
+            doc_idx = doc_idx[nonempty]
+        L = np.bincount(doc_idx, minlength=nd).astype(np.int64)
+        th = (
+            pl.from_arrow(values).hash(seed=7).to_numpy().astype(np.uint64)
+            if len(values)
+            else np.empty(0, np.uint64)
+        )
+        starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+        k = self.k
+        sh_parts, sd_parts = [], []
         with np.errstate(over="ignore"):
-            for tx in t["text"].to_pylist():
-                sh = _shingle_hashes(tx, self.k)
-                # sig_i = min over shingles of (a_i*x + b_i) mod mersenne
-                vals = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
-                sigs.append(vals.min(axis=0).astype(np.int64))
-                shingles.append(sh.astype(np.int64))
+            sel = L >= k
+            if sel.any():
+                nsh = L[sel] - k + 1
+                base = concat_ranges(starts[sel], nsh)
+                acc = np.zeros(base.size, dtype=np.uint64)
+                for j in range(k):
+                    acc = acc * self._PRIME + th[base + j]
+                sh_parts.append(acc)
+                sd_parts.append(np.repeat(np.nonzero(sel)[0], nsh))
+            ssel = L < k
+            if ssel.any():
+                sdocs = np.nonzero(ssel)[0]
+                Ls, st = L[sdocs], starts[sdocs]
+                pad = self._pad_hash()
+                acc = np.zeros(sdocs.size, dtype=np.uint64)
+                for j in range(k):
+                    valid = j < Ls
+                    safe = np.where(valid, st + j, 0)
+                    term = th[safe] if th.size else np.zeros(sdocs.size, np.uint64)
+                    acc = acc * self._PRIME + np.where(valid, term, pad)
+                sh_parts.append(acc)
+                sd_parts.append(sdocs)
+            sh = np.concatenate(sh_parts)
+            sd = np.concatenate(sd_parts)
+            # per-doc sorted unique shingle hashes
+            order = np.lexsort((sh, sd))
+            sh, sd = sh[order], sd[order]
+            keep = np.ones(sh.size, dtype=bool)
+            keep[1:] = (sd[1:] != sd[:-1]) | (sh[1:] != sh[:-1])
+            sh, sd = sh[keep], sd[keep]
+            seg_starts = np.nonzero(np.r_[True, sd[1:] != sd[:-1]])[0]
+            # signatures: min over shingles of the bijective uint64 scramble
+            # a_i·x + b_i (wraps mod 2^64; a_i odd). One contiguous 1-D
+            # pass per permutation — 10× faster than the 2-D axis-reduceat
+            # formulation (strided reduceat is pathological)
+            sig = np.empty((self.num_perm, nd), dtype=np.uint64)
+            for i in range(self.num_perm):
+                v = sh * self.a[i] + self.b[i]
+                sig[i] = np.minimum.reduceat(v, seg_starts)
+            sig = sig.T.astype(np.int64)
+        sh_counts = np.bincount(sd, minlength=nd)
+        sh_offsets = np.concatenate([[0], np.cumsum(sh_counts)]).astype(np.int32)
         return pa.table(
             {
                 "doc_id": pa.array(ids),
-                "sig": pa.array([s.tolist() for s in sigs]),
-                "shingles": pa.array([s.tolist() for s in shingles]),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.ravel()), self.num_perm
+                ),
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(sh_offsets), pa.array(sh.astype(np.int64))
+                ),
             }
         )
 
 
 class _BandRows:
-    """doc → one row per band: (band, bh, doc_id, shingles). Shingle sets
-    ride WITH the band rows, so exact verification happens inside the
-    band-bucket groups — no driver-side shingle map, no second join.
-    Volume = bands × Σ|shingles|, linear and fully distributed."""
+    """doc → one row per band: (band, bh, doc_id). Shingles do NOT ride
+    with the band rows (round 2 shipped every doc's shingle list in all 16
+    band rows — 16× write amplification through the one big shuffle);
+    exact verification happens downstream via a doc-keyed shingle join
+    over the candidate pairs only."""
 
     def __init__(self, bands: int, rows: int):
         self.bands, self.rows = bands, rows
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        sig = np.array(t["sig"].to_pylist(), dtype=np.uint64)
-        shingles = t["shingles"]
+        n = ids.size
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "bh": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        sig = np.asarray(t["sig"].combine_chunks().flatten()).reshape(n, -1).astype(np.uint64)
         parts = []
         with np.errstate(over="ignore"):
             for b in range(self.bands):
                 chunk = sig[:, b * self.rows : (b + 1) * self.rows]
-                h = np.zeros(len(ids), dtype=np.uint64)
+                h = np.zeros(n, dtype=np.uint64)
                 for j in range(chunk.shape[1]):
                     h = h * np.uint64(1099511628211) + chunk[:, j]
                 parts.append(
                     pa.table(
                         {
-                            "band": pa.array(np.full(len(ids), b, np.int32)),
+                            "band": pa.array(np.full(n, b, np.int32)),
                             "bh": pa.array(h.astype(np.int64)),
                             "doc_id": pa.array(ids),
-                            "shingles": shingles,
                         }
                     )
                 )
         return pa.concat_tables(parts)
 
 
-class _BucketStarVerify:
-    """One LSH bucket → exact-Jaccard-verified STAR edges (min-doc hub).
+_COARSE_GROUPS = 256
+
+
+class _CoarseKey:
+    """Append ``__g = mix(cols) % NB``: a groupby on __g forms ~NB groups,
+    each containing COMPLETE fine-grained buckets.
+
+    Grouping directly on the fine key (e.g. (band, bh) — millions of
+    mostly-singleton LSH buckets) makes Ray Data call the group function
+    once per bucket: Python-per-group is the whole cost. The coarse key
+    keeps the shuffle but lets one vectorized call process thousands of
+    buckets (segments of a lexsort)."""
+
+    def __init__(self, cols, nb: int = _COARSE_GROUPS):
+        self.cols, self.nb = cols, nb
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        acc = np.zeros(t.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in self.cols:
+                v = t[c].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+                acc = (acc ^ v) * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "__g", pa.array((acc % np.uint64(self.nb)).astype(np.int32))
+        )
+
+
+class _GroupedStarCandidates:
+    """Coarse group (many complete LSH buckets) → UNVERIFIED star
+    candidate pairs (min-doc hub per (band, bh) bucket), fully vectorized
+    over the group's lexsort segments.
 
     Emitting all C(s,2) pairs per bucket is quadratic in bucket size — one
     boilerplate-heavy bucket (1000 identical docs) explodes. The star
-    (every member verified against the bucket's min doc) is O(s) rows and
-    is sufficient for the connected-components grouping; members similar
-    to each other but not to the hub are still paired in the bands where
-    the hub does not collide (LSH's usual probabilistic recall)."""
-
-    def __init__(self, threshold):
-        self.threshold = threshold
+    (every member against the bucket's min doc) is O(s) rows and is
+    sufficient for the connected-components grouping; members similar to
+    each other but not to the hub are still paired in the bands where the
+    hub does not collide (LSH's usual probabilistic recall). Verification
+    is the exact-Jaccard join stage downstream."""
 
     def __call__(self, g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        band = g["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = g["bh"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        if doc.size == 0:
+            return empty
+        order = np.lexsort((doc, bh, band))
+        b_, h_, d_ = band[order], bh[order], doc[order]
+        newseg = np.ones(d_.size, dtype=bool)
+        newseg[1:] = (b_[1:] != b_[:-1]) | (h_[1:] != h_[:-1])
+        seg = np.cumsum(newseg) - 1
+        hubs = d_[newseg]  # min doc per bucket (doc is the last sort key)
+        memb = ~newseg
+        a = hubs[seg[memb]]
+        b2 = d_[memb]
+        keep = a != b2  # a doc listed twice in one bucket is not a pair
+        a, b2 = a[keep], b2[keep]
+        if a.size == 0:
+            return empty
+        # in-group (a, b) dedup (same pair from several bands in this group)
+        o2 = np.lexsort((b2, a))
+        a, b2 = a[o2], b2[o2]
+        k = np.ones(a.size, dtype=bool)
+        k[1:] = (a[1:] != a[:-1]) | (b2[1:] != b2[:-1])
+        return pa.table({"a": pa.array(a[k]), "b": pa.array(b2[k])})
+
+
+class _GroupedUniquePairs:
+    """Keep one row per distinct (a, b) within a coarse group (groups are
+    complete by construction of the __g key); drops __g."""
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        k = np.ones(a.size, dtype=bool)
+        if a.size:
+            asrt, bsrt = a[order], b[order]
+            k[1:] = (asrt[1:] != asrt[:-1]) | (bsrt[1:] != bsrt[:-1])
+        out = g.take(pa.array(np.sort(order[k])))
+        return out.drop_columns(["__g"])
+
+
+class _ExactJaccard:
+    """Exact Jaccard over joined shingle-list pairs (sh_a, sh_b), fully
+    vectorized: flatten both list columns with pair ids, sort by
+    (pair, value) — per-doc lists are unique, so equal neighbors count the
+    intersection — then one bincount per batch."""
+
+    def __init__(self, threshold: float):
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "a": pa.array([], pa.int64()),
@@ -129,30 +310,45 @@ class _BucketStarVerify:
                 "jaccard": pa.array([], pa.float64()),
             }
         )
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        uniq, first_idx = np.unique(ids, return_index=True)
-        if uniq.size < 2:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
             return empty
-        shingles = g["shingles"]
-        hub_pos = int(first_idx[0])  # uniq is sorted → index of min doc_id
-        hub = np.asarray(shingles[hub_pos].as_py(), dtype=np.int64)
-        out_a, out_b, out_j = [], [], []
-        for u, ix in zip(uniq[1:], first_idx[1:]):
-            sb = np.asarray(shingles[int(ix)].as_py(), dtype=np.int64)
-            inter = np.intersect1d(hub, sb, assume_unique=True).size
-            denom = hub.size + sb.size - inter
-            j = inter / denom if denom else 0.0
-            if j >= self.threshold:
-                out_a.append(int(uniq[0]))
-                out_b.append(int(u))
-                out_j.append(j)
-        if not out_a:
+        import pyarrow.compute as pc
+
+        sa = t["sh_a"].combine_chunks()
+        sb = t["sh_b"].combine_chunks()
+        va, vb = np.asarray(sa.flatten()), np.asarray(sb.flatten())
+        # lengths via compute kernel (offsets of a sliced ListArray don't
+        # start at 0; flatten() is already window-adjusted)
+        la = pc.list_value_length(sa).to_numpy(zero_copy_only=False).astype(np.int64)
+        lb = pc.list_value_length(sb).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        pid = np.concatenate(
+            [np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)]
+        )
+        val = np.concatenate([va, vb])
+        order = np.lexsort((val, pid))
+        pid_s, val_s = pid[order], val[order]
+        dup = np.zeros(pid_s.size, dtype=bool)
+        if pid_s.size > 1:
+            dup[1:] = (pid_s[1:] == pid_s[:-1]) & (val_s[1:] == val_s[:-1])
+        inter = (
+            np.bincount(pid_s[dup], minlength=n)
+            if pid_s.size
+            else np.zeros(n, np.int64)
+        )
+        denom = la + lb - inter
+        j = np.where(denom > 0, inter / np.maximum(denom, 1), 0.0)
+        keepm = j >= self.threshold
+        if not keepm.any():
             return empty
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "a": pa.array(a[keepm], pa.int64()),
+                "b": pa.array(b[keepm], pa.int64()),
+                "jaccard": pa.array(j[keepm], pa.float64()),
             }
         )
 
@@ -170,21 +366,47 @@ def minhash_near_duplicates(
     groups assigns every doc in a near-dup cluster the min doc_id of the
     cluster (connected components over the verified match graph — the
     engine's own CC kernel on a doc-id graph)."""
+    from ..stages.hashjoin import lookup_join
+
     rows = num_perm // bands
+    # materialized: consumed by BOTH the band-bucket path and the
+    # verification join (lineage would otherwise recompute the minhashes)
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
         _MinHash(num_perm, shingle_k), batch_format="pyarrow", batch_size=1024
-    )
+    ).materialize()
 
-    # band-bucket groupby (the one shuffle) → verified star edges inside
-    # each bucket → (a, b) dedup across bands. No driver-side state.
-    pairs = (
-        sigs.map_batches(_BandRows(bands, rows), batch_format="pyarrow")
-        .groupby(["band", "bh"])
-        .map_groups(named(_BucketStarVerify(threshold)), batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .map_groups(named(_FirstRow()), batch_format="pyarrow")
-        .materialize()
+    # band-bucket groupby over (band, bh, doc_id) rows only (no payload
+    # amplification) → unverified star candidates → (a, b) dedup across
+    # bands → shingle lists joined in per endpoint (each doc's shingles
+    # cross the wire at most twice, not once per band) → exact-Jaccard
+    # verification. No driver-side state.
+    cands = (
+        sigs.select_columns(["doc_id", "sig"])
+        .map_batches(_BandRows(bands, rows), batch_format="pyarrow")
+        .map_batches(_CoarseKey(["band", "bh"]), batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(named(_GroupedStarCandidates()), batch_format="pyarrow")
+        .map_batches(_CoarseKey(["a", "b"]), batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(named(_GroupedUniquePairs()), batch_format="pyarrow")
     )
+    shing = sigs.select_columns(["doc_id", "shingles"])
+    ab = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    with_a = lookup_join(
+        cands, "a", shing, "doc_id", "shingles", "sh_a", fact_schema=ab
+    )
+    with_b = lookup_join(
+        with_a,
+        "b",
+        shing,
+        "doc_id",
+        "shingles",
+        "sh_b",
+        fact_schema=ab.append(pa.field("sh_a", pa.list_(pa.int64()))),
+    )
+    pairs = with_b.map_batches(
+        _ExactJaccard(threshold), batch_format="pyarrow"
+    ).materialize()
 
     # near-dup clusters: CC over the verified-pair graph in doc-id space —
     # the pairs Dataset feeds Graph() directly (stays distributed)
@@ -294,64 +516,101 @@ def simhash_near_duplicates(
             }
         )
 
-    class _HamPairs:
-        """Identical fingerprints collapse to a star around the min doc
-        (exact dups are the hot case — O(group), never C(s,2)); the cross
-        products run only over DISTINCT fingerprints, capped at `cap`
-        lowest doc-ids per bucket (deterministic; a 16-bit chunk shared by
-        thousands of distinct docs is a degenerate bucket whose pairs the
-        other 3 chunks still cover probabilistically)."""
+    pairs = (
+        fps.map_batches(_chunks, batch_format="pyarrow")
+        .map_batches(_CoarseKey(["chunk", "cv"]), batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(named(_GroupedHamPairs(max_hamming)), batch_format="pyarrow")
+    )
+    # dedup pairs found in multiple chunks
+    return (
+        pairs.map_batches(_CoarseKey(["a", "b"]), batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(named(_GroupedUniquePairs()), batch_format="pyarrow")
+    )
 
-        def __init__(self, maxh, cap=512):
-            self.maxh, self.cap = maxh, cap
 
-        def __call__(self, g: pa.Table) -> pa.Table:
-            ids = g["doc_id"].to_numpy(zero_copy_only=False)
-            fp = g["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            ids, ix = np.unique(ids, return_index=True)
-            fp = fp[ix]
-            empty = pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "hamming": pa.array([], pa.int64())}
-            )
-            if ids.size < 2:
-                return empty
-            out = []
-            # star edges within identical-fingerprint groups (hamming 0)
-            order = np.argsort(fp, kind="stable")
-            fps_s, ids_s = fp[order], ids[order]
-            grp_start = np.ones(fps_s.size, dtype=bool)
-            grp_start[1:] = fps_s[1:] != fps_s[:-1]
-            gid = np.cumsum(grp_start) - 1
-            # min doc id per group = first in (fp, id) lexsort
-            order2 = np.lexsort((ids_s, gid))
-            ids2, gid2 = ids_s[order2], gid[order2]
-            first = np.ones(ids2.size, dtype=bool)
-            first[1:] = gid2[1:] != gid2[:-1]
-            hubs = ids2[first]
-            star_mask = ~first
-            if star_mask.any():
-                out.append(
-                    pa.table(
-                        {
-                            "a": pa.array(hubs[gid2[star_mask]], pa.int64()),
-                            "b": pa.array(ids2[star_mask], pa.int64()),
-                            "hamming": pa.array(np.zeros(int(star_mask.sum()), np.int64)),
-                        }
-                    )
+class _GroupedHamPairs:
+    """Coarse group (many complete 16-bit-chunk buckets) → Hamming pairs.
+
+    Identical fingerprints collapse to a star around the min doc (exact
+    dups are the hot case — O(group), never C(s,2)); cross products run
+    only over DISTINCT fingerprints, capped at `cap` lowest doc-ids per
+    bucket (deterministic; a 16-bit chunk shared by thousands of distinct
+    docs is a degenerate bucket whose pairs the other 3 chunks still
+    cover probabilistically). Star edges are vectorized across ALL
+    buckets in the group; the per-bucket Python loop runs only over
+    buckets with ≥ 2 distinct fingerprints."""
+
+    def __init__(self, maxh, cap=512):
+        self.maxh, self.cap = maxh, cap
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        chunk = g["chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cv = g["cv"].to_numpy(zero_copy_only=False)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        fp = g["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if doc.size == 0:
+            return empty
+        order = np.lexsort((doc, fp.astype(np.int64), cv, chunk))
+        c_, v_, d_, f_ = chunk[order], cv[order], doc[order], fp[order]
+        nb = np.ones(d_.size, dtype=bool)  # bucket starts
+        nb[1:] = (c_[1:] != c_[:-1]) | (v_[1:] != v_[:-1])
+        bid = np.cumsum(nb) - 1
+        # drop duplicate (bucket, doc) rows (defensive; adjacent after sort
+        # only within the same fp run)
+        dup = np.zeros(d_.size, dtype=bool)
+        dup[1:] = (~nb[1:]) & (d_[1:] == d_[:-1]) & (f_[1:] == f_[:-1])
+        if dup.any():
+            keepm = ~dup
+            c_, v_, d_, f_, bid = c_[keepm], v_[keepm], d_[keepm], f_[keepm], bid[keepm]
+            nb = np.ones(d_.size, dtype=bool)
+            nb[1:] = bid[1:] != bid[:-1]
+        # fingerprint-group starts (within bucket)
+        nf = nb.copy()
+        nf[1:] |= f_[1:] != f_[:-1]
+        fgid = np.cumsum(nf) - 1
+        hubs = d_[nf]  # min doc per fp-group (doc ascending within group)
+        out = []
+        memb = ~nf
+        if memb.any():
+            out.append(
+                pa.table(
+                    {
+                        "a": pa.array(hubs[fgid[memb]], pa.int64()),
+                        "b": pa.array(d_[memb], pa.int64()),
+                        "hamming": pa.array(np.zeros(int(memb.sum()), np.int64)),
+                    }
                 )
-            # cross pairs over distinct fingerprints (capped, lowest ids)
-            rep_ids, rep_fp = hubs, fps_s[order2][first]
+            )
+        # cross pairs: one representative (min doc) per distinct fp,
+        # bucket-local triu over buckets with >= 2 distinct fps
+        rep_bid = bid[nf]
+        rep_fp = f_[nf]
+        counts = np.bincount(rep_bid, minlength=int(bid[-1]) + 1 if bid.size else 0)
+        multi = np.nonzero(counts >= 2)[0]
+        rep_starts = np.concatenate([[0], np.cumsum(counts)])
+        for bkt in multi:
+            s0, s1 = int(rep_starts[bkt]), int(rep_starts[bkt + 1])
+            rep_ids, rfp = hubs[s0:s1], rep_fp[s0:s1]
             if rep_ids.size > self.cap:
                 sel = np.argsort(rep_ids, kind="stable")[: self.cap]
-                rep_ids, rep_fp = rep_ids[sel], rep_fp[sel]
-            if rep_ids.size >= 2:
-                ii, jj = np.triu_indices(rep_ids.size, k=1)
-                x = rep_fp[ii] ^ rep_fp[jj]
-                ham = np.zeros(x.size, dtype=np.int64)
-                for _ in range(64):
-                    ham += (x & np.uint64(1)).astype(np.int64)
-                    x >>= np.uint64(1)
-                keep = (ham <= self.maxh) & (ham > 0)
+                rep_ids, rfp = rep_ids[sel], rfp[sel]
+            ii, jj = np.triu_indices(rep_ids.size, k=1)
+            x = rfp[ii] ^ rfp[jj]
+            ham = np.zeros(x.size, dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = (ham <= self.maxh) & (ham > 0)
+            if keep.any():
                 a, b = rep_ids[ii][keep], rep_ids[jj][keep]
                 lo, hi2 = np.minimum(a, b), np.maximum(a, b)
                 out.append(
@@ -363,19 +622,9 @@ def simhash_near_duplicates(
                         }
                     )
                 )
-            if not out:
-                return empty
-            return pa.concat_tables(out)
-
-    pairs = (
-        fps.map_batches(_chunks, batch_format="pyarrow")
-        .groupby(["chunk", "cv"])
-        .map_groups(named(_HamPairs(max_hamming)), batch_format="pyarrow")
-    )
-    # dedup pairs found in multiple chunks
-    return pairs.groupby(["a", "b"]).map_groups(
-        named(_FirstRow()), batch_format="pyarrow"
-    )
+        if not out:
+            return empty
+        return pa.concat_tables(out)
 
 
 class _FirstRow:

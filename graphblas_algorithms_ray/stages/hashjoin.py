@@ -72,19 +72,23 @@ class _JoinBucket:
         dim = g.filter(pc.equal(g["__side"], 1))
         fact = g.filter(pc.equal(g["__side"], 0))
         dk = dim[self.key_col].to_numpy(zero_copy_only=False)
-        dv = dim[self.out_col].to_numpy(zero_copy_only=False)
+        dv = dim[self.out_col].combine_chunks()
         order = np.argsort(dk)
-        dk, dv = dk[order], dv[order]
         fk = fact[self.key_col].to_numpy(zero_copy_only=False)
         if dk.size:
-            pos = np.minimum(np.searchsorted(dk, fk), dk.size - 1)
-            ok = dk[pos] == fk
-            vals = dv[pos]
+            dks = dk[order]
+            pos = np.minimum(np.searchsorted(dks, fk), dks.size - 1)
+            ok = dks[pos] == fk
+            src_idx = order[pos]
         else:
             ok = np.zeros(fk.size, dtype=bool)
-            vals = np.zeros(fk.size, dtype=dv.dtype if dv.size else np.int64)
+            src_idx = np.zeros(fk.size, dtype=np.int64)
         fact = fact.drop_columns(["__bucket", "__side", self.out_col])
-        fact = fact.append_column(self.out_col, pa.array(vals, mask=~ok))
+        # Arrow take (null index → null value) instead of numpy fancy
+        # indexing: works for ANY value type incl. list columns
+        idx = pa.array(src_idx, mask=~ok)
+        vals = dv.take(idx) if fk.size else pa.nulls(0, dv.type)
+        fact = fact.append_column(self.out_col, vals)
         if self.drop_missing:
             fact = fact.filter(pa.array(ok))
         return fact
@@ -112,9 +116,14 @@ def lookup_join(
     *,
     num_buckets: int = 64,
     drop_missing: bool = True,
+    fact_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
-    """fact ⋈ dim on fact[key_col] == dim[dim_key]; appends out_col."""
-    fact_schema = _arrow_schema(fact)
+    """fact ⋈ dim on fact[key_col] == dim[dim_key]; appends out_col.
+
+    Pass ``fact_schema`` when the fact side's schema cannot be inferred
+    lazily (e.g. a groupby output whose sampled blocks are all empty)."""
+    if fact_schema is None:
+        fact_schema = _arrow_schema(fact)
     dim_schema = _arrow_schema(dim)
     out_type = dim_schema.field(dim_val).type
     tagged_fact = fact.map_batches(
