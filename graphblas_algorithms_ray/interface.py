@@ -35,8 +35,13 @@ def convert_from_nx(graph, weight: str | None = None) -> Graph:
     label dictionary attached. Engine Graphs pass through unchanged."""
     if isinstance(graph, Graph):
         return graph
+    # cache key includes node/edge counts as a staleness guard: nx mutation
+    # (add/remove edges) must not re-dispatch against the pre-mutation
+    # conversion (ADVICE r2; nx's own backend cache invalidates on
+    # mutation — this private attr never would)
+    ckey = (weight, graph.number_of_nodes(), graph.number_of_edges())
     cached = graph.__dict__.get(_CACHE_ATTR)
-    if cached is not None and cached[0] == weight:
+    if cached is not None and cached[0] == ckey:
         return cached[1]
     nodes = list(graph.nodes())
     key_to_id = {k: i for i, k in enumerate(nodes)}
@@ -56,7 +61,7 @@ def convert_from_nx(graph, weight: str | None = None) -> Graph:
     g._key_to_id = key_to_id
     g._id_to_key = nodes
     try:
-        graph.__dict__[_CACHE_ATTR] = (weight, g)
+        graph.__dict__[_CACHE_ATTR] = (ckey, g)
     except Exception:
         pass
     return g
@@ -210,7 +215,9 @@ class Dispatcher:
 
         g = convert_from_nx(graph, weight)
         if g.directed:
-            res = _vertex_dict(g, clustering_directed(g), "clustering")
+            res = _vertex_dict(
+                g, clustering_directed(g, weighted=weight is not None), "clustering"
+            )
         else:
             if nodes is not None and not isinstance(nodes, (list, set, tuple)):
                 return float(
@@ -238,7 +245,11 @@ class Dispatcher:
 
         g = convert_from_nx(graph, weight)
         if g.directed:
-            return float(average_clustering_directed(g, count_zeros=count_zeros))
+            return float(
+                average_clustering_directed(
+                    g, count_zeros=count_zeros, weighted=weight is not None
+                )
+            )
         return float(average_clustering(g, count_zeros=count_zeros, weight=weight))
 
     @staticmethod
@@ -394,14 +405,14 @@ class Dispatcher:
         g = convert_from_nx(graph, weight)
         S2 = {_id_of(g, s) for s in S}
         T2 = {_id_of(g, t) for t in T} if T is not None else None
-        return cut_size(g, S2, T2)
+        return cut_size(g, S2, T2, weighted=weight is not None)
 
     @staticmethod
     def volume(graph, S, weight=None):
         from .pipelines.cuts import volume
 
         g = convert_from_nx(graph, weight)
-        return volume(g, {_id_of(g, s) for s in S})
+        return volume(g, {_id_of(g, s) for s in S}, weighted=weight is not None)
 
     @staticmethod
     def conductance(graph, S, T=None, weight=None):
@@ -410,7 +421,7 @@ class Dispatcher:
         g = convert_from_nx(graph, weight)
         S2 = {_id_of(g, s) for s in S}
         T2 = {_id_of(g, t) for t in T} if T is not None else None
-        return conductance(g, S2, T2)
+        return conductance(g, S2, T2, weighted=weight is not None)
 
     @staticmethod
     def normalized_cut_size(graph, S, T=None, weight=None):
@@ -419,7 +430,7 @@ class Dispatcher:
         g = convert_from_nx(graph, weight)
         S2 = {_id_of(g, s) for s in S}
         T2 = {_id_of(g, t) for t in T} if T is not None else None
-        return normalized_cut_size(g, S2, T2)
+        return normalized_cut_size(g, S2, T2, weighted=weight is not None)
 
     @staticmethod
     def node_boundary(graph, nbunch1, nbunch2=None):

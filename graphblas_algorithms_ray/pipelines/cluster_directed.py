@@ -26,19 +26,31 @@ from ..state.graph import Graph
 from ..stages import spmv as spmv_mod
 
 
-def _b_graph(G) -> Graph:
-    """B = A + Aᵀ as a weighted graph (weight = 1 or 2), self-loops dropped."""
+def _b_graph(G, weighted: bool = False) -> Graph:
+    """B = A + Aᵀ as a weighted graph, self-loops dropped.
+
+    Unweighted: per-direction contribution 1 (entries ∈ {1, 2}).
+    Weighted (Fagiolo, nx ``clustering(DiGraph, weight=)`` parity):
+    per-direction contribution cbrt(w / max_w) BEFORE the sum, so
+    B = Ŵ^{1/3} + (Ŵᵀ)^{1/3} and diag(B³)/2 is the weighted T(v)."""
     G._ensure_built()
+    max_w = 1.0
+    if weighted and G.weighted:
+        max_w = float(G.edges_ds().max("weight") or 1.0) or 1.0
 
     def _strip_self(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy(zero_copy_only=False)
         d = t["dst"].to_numpy(zero_copy_only=False)
         m = s != d
+        if weighted and "weight" in t.column_names:
+            w = np.cbrt(t["weight"].to_numpy(zero_copy_only=False)[m] / max_w)
+        else:
+            w = np.ones(int(m.sum()))
         return pa.table(
             {
                 "src": pa.array(s[m]),
                 "dst": pa.array(d[m]),
-                "weight": pa.array(np.ones(int(m.sum()))),
+                "weight": pa.array(w.astype(np.float64)),
             }
         )
 
@@ -162,11 +174,11 @@ class _WProbeCount:
         )
 
 
-def directed_triangle_products(G) -> ray.data.Dataset:
+def directed_triangle_products(G, weighted: bool = False) -> ray.data.Dataset:
     """(v, t) with t(v) = Σ_{triangles at v} B_vu·B_uw·B_wv (Fagiolo T)."""
     from .triangles import _degree_rank
 
-    b = _b_graph(G)
+    b = _b_graph(G, weighted=weighted)
     rank, perm = _degree_rank(b)
     rank_ref, perm_ref = ray.put(rank), ray.put(perm)
 
@@ -239,13 +251,13 @@ class _SumF:
         )
 
 
-def clustering_directed(G) -> ray.data.Dataset:
-    """(v, clustering) matching nx.clustering on DiGraphs
-    (reference ``cluster.py:94-126``)."""
+def clustering_directed(G, weighted: bool = False) -> ray.data.Dataset:
+    """(v, clustering) matching nx.clustering on DiGraphs, incl. the
+    weighted (Fagiolo cbrt) variant (reference ``cluster.py:94-126``)."""
     from .structure import _EdgeProbe
 
     G._ensure_built()
-    tri = directed_triangle_products(G)
+    tri = directed_triangle_products(G, weighted=weighted)
     out_aux = G.aux_refs
     in_aux = G.reverse().aux_refs
     n, P = G.n, G.num_parts
@@ -296,12 +308,38 @@ def clustering_directed(G) -> ray.data.Dataset:
     return tri.map_batches(_Div(), batch_format="pyarrow")
 
 
-def average_clustering_directed(G, count_zeros: bool = True) -> float:
-    df = clustering_directed(G).to_pandas()
-    vals = df["clustering"].values
-    if not count_zeros:
-        vals = vals[vals > 0]
-    return float(vals.mean()) if vals.size else 0.0
+def average_clustering_directed(
+    G, count_zeros: bool = True, weighted: bool = False
+) -> float:
+    ds = clustering_directed(G, weighted=weighted)
+    if count_zeros:
+        m = ds.mean("clustering")
+        return float(m) if m is not None else 0.0
+    import pyarrow.compute as pc
+
+    agg = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.array(
+                    [float(pc.sum(t["clustering"]).as_py() or 0.0)], pa.float64()
+                ),
+                "c": pa.array(
+                    [
+                        float(
+                            pc.sum(
+                                pc.cast(pc.greater(t["clustering"], 0.0), pa.int64())
+                            ).as_py()
+                            or 0
+                        )
+                    ],
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    s, c = agg.sum("s") or 0.0, agg.sum("c") or 0.0
+    return float(s / c) if c else 0.0
 
 
 def transitivity_directed(G) -> float:

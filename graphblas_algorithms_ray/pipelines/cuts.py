@@ -115,32 +115,57 @@ def cut_size(G, S, T=None, weighted: bool = False) -> float:
 
 
 def volume(G, S, weighted: bool = False) -> float:
-    """Σ out-degree over S (``cuts.py:33-38``)."""
+    """Σ out-degree over S (``cuts.py:33-38``); ``weighted`` sums edge
+    weights (nx ``volume(..., weight=)`` parity) via the per-part
+    ``out_wsum`` aux — float accumulator, no int truncation."""
     G._ensure_built()
     ps = _as_pred(S)
+    if weighted and G.weighted:
+        from .._util import universe as _universe
+
+        aux_refs, n, P = G.aux_refs, G.n, G.num_parts
+
+        def _fw(t: pa.Table) -> pa.Table:
+            tot = 0.0
+            for k in t["id"].to_numpy(zero_copy_only=False):
+                aux = ray.get(aux_refs[int(k)])
+                uni = _universe(int(k), n, P)
+                tot += float(aux["out_wsum"][ps(uni)].sum())
+            return pa.table({"x": pa.array([tot], pa.float64())})
+
+        return float(
+            ray.data.range(P, override_num_blocks=P)
+            .map_batches(_fw, batch_format="pyarrow")
+            .sum("x")
+            or 0.0
+        )
     deg = G.degrees_ds("out")
 
     def _f(t: pa.Table) -> pa.Table:
         v = t["v"].to_numpy(zero_copy_only=False)
         d = t["degree"].to_numpy(zero_copy_only=False)
-        return pa.table({"x": pa.array([int(d[ps(v)].sum())], pa.int64())})
+        return pa.table({"x": pa.array([float(d[ps(v)].sum())], pa.float64())})
 
     return float(deg.map_batches(_f, batch_format="pyarrow").sum("x") or 0)
 
 
-def normalized_cut_size(G, S, T=None) -> float:
+def normalized_cut_size(G, S, T=None, weighted: bool = False) -> float:
     """``cuts.py:41-47``: cut·(1/vol(S) + 1/vol(T))."""
     ps = _as_pred(S)
     pt = _as_pred(T) if T is not None else (lambda v: ~ps(v))
-    c = cut_size(G, ps, pt)
-    return c * (1.0 / volume(G, ps) + 1.0 / volume(G, pt))
+    c = cut_size(G, ps, pt, weighted=weighted)
+    return c * (
+        1.0 / volume(G, ps, weighted=weighted) + 1.0 / volume(G, pt, weighted=weighted)
+    )
 
 
-def conductance(G, S, T=None) -> float:
+def conductance(G, S, T=None, weighted: bool = False) -> float:
     """``cuts.py:50-54``: cut / min(vol(S), vol(T))."""
     ps = _as_pred(S)
     pt = _as_pred(T) if T is not None else (lambda v: ~ps(v))
-    return cut_size(G, ps, pt) / min(volume(G, ps), volume(G, pt))
+    return cut_size(G, ps, pt, weighted=weighted) / min(
+        volume(G, ps, weighted=weighted), volume(G, pt, weighted=weighted)
+    )
 
 
 def edge_expansion(G, S, T=None) -> float:

@@ -127,6 +127,8 @@ def is_dominating_set(G, S) -> bool:
     """S ∪ N(S) covers V (``algorithms/dominating.py:6-8``)."""
     G._ensure_built()
     S = set(int(s) for s in S)
+    if not S:
+        return G.n == 0
     sarr = np.array(sorted(S), dtype=np.int64)
 
     def _nbrs(t: pa.Table) -> pa.Table:
@@ -134,12 +136,16 @@ def is_dominating_set(G, S) -> bool:
         d = t["dst"].to_numpy(zero_copy_only=False)
         pos = np.minimum(np.searchsorted(sarr, s), sarr.size - 1)
         keep = sarr[pos] == s
+        in_s = np.minimum(np.searchsorted(sarr, d), sarr.size - 1)
+        keep &= sarr[in_s] != d  # members of S are covered regardless
         return pa.table({"v": pa.array(np.unique(d[keep]))})
 
-    covered = set(S)
-    for r in G.edges_ds().map_batches(_nbrs, batch_format="pyarrow").take_all():
-        covered.add(int(r["v"]))
-    return len(covered) == G.n
+    # distinct-count aggregate (groupby count of unique covered vertices)
+    # instead of collecting the covered set on the driver
+    nbrs = G.edges_ds().map_batches(_nbrs, batch_format="pyarrow")
+    distinct = nbrs.groupby("v").count()
+    n_covered = distinct.count() + len(S)
+    return n_covered == G.n
 
 
 def is_simple_path(G, nodes) -> bool:

@@ -705,14 +705,39 @@ def clustering(G, weight: str | None = None) -> ray.data.Dataset:
 
 
 def average_clustering(G, count_zeros: bool = True, weight: str | None = None) -> float:
-    """``cluster.py:176-193``."""
-    df = clustering(G, weight=weight).to_pandas()
-    vals = df["clustering"].values
-    if not count_zeros:
-        # reference divides by c.nvals = nodes with NONZERO clustering
-        # (nodes in >=1 triangle), not nodes with degree >= 2
-        vals = vals[vals > 0]
-    return float(vals.mean()) if vals.size else 0.0
+    """``cluster.py:176-193`` — Dataset aggregates, no driver pull of the
+    per-node table."""
+    import pyarrow.compute as pc
+
+    ds = clustering(G, weight=weight)
+    if count_zeros:
+        m = ds.mean("clustering")
+        return float(m) if m is not None else 0.0
+    # reference divides by c.nvals = nodes with NONZERO clustering
+    # (nodes in >=1 triangle), not nodes with degree >= 2
+    agg = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.array(
+                    [float(pc.sum(t["clustering"]).as_py() or 0.0)], pa.float64()
+                ),
+                "c": pa.array(
+                    [
+                        float(
+                            pc.sum(
+                                pc.cast(pc.greater(t["clustering"], 0.0), pa.int64())
+                            ).as_py()
+                            or 0
+                        )
+                    ],
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    s, c = agg.sum("s") or 0.0, agg.sum("c") or 0.0
+    return float(s / c) if c else 0.0
 
 
 # ---------------------------------------------------------------------------

@@ -73,3 +73,63 @@ def test_dispatcher_cuts_and_structure():
     r = D.reciprocity(GD, ["node01", "node02"])
     for k in r:
         assert abs(r[k] - nx.reciprocity(GD, k)) < 1e-12
+
+
+def test_dispatcher_weighted_cuts():
+    # ADVICE r2: weight= must actually reach the cut/volume kernels
+    G = _labeled(seed=9, p=0.15)
+    rng = np.random.RandomState(5)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.randint(1, 7))
+    S = [f"node{i:02d}" for i in range(0, 30, 3)]
+    T = [n for n in G.nodes() if n not in S]
+    assert abs(D.cut_size(G, S, weight="weight") - nx.cut_size(G, S, weight="weight")) < 1e-9
+    assert abs(D.volume(G, S, weight="weight") - nx.volume(G, S, weight="weight")) < 1e-9
+    assert (
+        abs(
+            D.conductance(G, S, T, weight="weight")
+            - nx.conductance(G, S, T, weight="weight")
+        )
+        < 1e-9
+    )
+    assert (
+        abs(
+            D.normalized_cut_size(G, S, T, weight="weight")
+            - nx.normalized_cut_size(G, S, T, weight="weight")
+        )
+        < 1e-9
+    )
+
+
+def test_dispatcher_weighted_directed_clustering():
+    # ADVICE r2: directed clustering must honor weight= (Fagiolo cbrt)
+    GD = _labeled(directed=True, seed=10, p=0.15)
+    rng = np.random.RandomState(6)
+    for u, v in GD.edges():
+        GD[u][v]["weight"] = float(rng.randint(1, 5))
+    got = D.clustering(GD, weight="weight")
+    exp = nx.clustering(GD, weight="weight")
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9
+    assert (
+        abs(
+            D.average_clustering(GD, weight="weight")
+            - nx.average_clustering(GD, weight="weight")
+        )
+        < 1e-9
+    )
+
+
+def test_convert_cache_invalidates_on_mutation():
+    # ADVICE r2: mutating the nx graph must not re-dispatch against the
+    # stale pre-mutation conversion
+    G = nx.path_graph(5)
+    g1 = convert_from_nx(G)
+    assert convert_from_nx(G) is g1  # cache hit while unchanged
+    G.add_edge(0, 4)
+    g2 = convert_from_nx(G)
+    assert g2 is not g1
+    assert D.is_connected(G)
+    cc_before = D.clustering(G)
+    G.add_edge(1, 3)
+    assert D.clustering(G) != cc_before
