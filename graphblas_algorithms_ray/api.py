@@ -423,6 +423,12 @@ def q_laplacian(sf_dir):
     return laplacian_matrix(lineitem_graph(sf_dir))
 
 
+def q_bethe_hessian(sf_dir):
+    from .pipelines.linalg import bethe_hessian_matrix
+
+    return bethe_hessian_matrix(lineitem_graph(sf_dir))
+
+
 def q_square_clustering(sf_dir):
     from .pipelines.squares import square_clustering
 
@@ -535,6 +541,7 @@ QUERIES = {
     "simhash": q_simhash,
     "language_id": q_language_id,
     "laplacian": q_laplacian,
+    "bethe_hessian": q_bethe_hessian,
     "square_clustering": q_square_clustering,
     "transitivity_directed": q_transitivity_directed,
     "clustering_directed": q_clustering_directed,
@@ -916,6 +923,15 @@ SELECT verts.v AS row, verts.v AS col, COALESCE(o.d, 0)::DOUBLE AS value
 FROM verts LEFT JOIN (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src) o USING (v)
 UNION ALL
 SELECT src AS row, dst AS col, -1.0 AS value FROM edges""",
+    "bethe_hessian": f"""WITH {_G},
+od AS MATERIALIZED (SELECT verts.v, COALESCE(o.d, 0)::DOUBLE AS d
+  FROM verts LEFT JOIN (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src) o USING (v)),
+rr AS MATERIALIZED (SELECT SUM(d*d) / GREATEST(SUM(d), 1.0) - 1.0 AS r FROM od)
+SELECT v AS row, v AS col, (SELECT r*r - 1.0 FROM rr) AS value FROM od
+UNION ALL
+SELECT v AS row, v AS col, d AS value FROM od
+UNION ALL
+SELECT src AS row, dst AS col, -(SELECT r FROM rr) AS value FROM edges""",
     "ann_topk": """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id IN (0, 1, 2))
 SELECT qid, nid, ROUND(sim, 6) AS score FROM (
   SELECT q.qid, e.vec_id AS nid,

@@ -111,7 +111,50 @@ def convert_to_nx(obj, *, name: str | None = None):
 
 class Dispatcher:
     """nx-named entry points over the Ray engine (reference
-    ``interface.py`` Dispatcher parity for the implemented surface)."""
+    ``interface.py`` Dispatcher parity for the implemented surface).
+    Registered as the ``networkx.backends`` entry point ``graphblas_ray``
+    (pyproject.toml), so ``nx.pagerank(G, backend="graphblas_ray")``
+    dispatches here when the distribution is installed."""
+
+    # -- nx backend conversion protocol (reference interface.py:174-241) --
+    @staticmethod
+    def convert_from_nx(
+        graph,
+        edge_attrs=None,
+        node_attrs=None,
+        preserve_edge_attrs=False,
+        preserve_node_attrs=False,
+        preserve_graph_attrs=False,
+        name=None,
+        graph_name=None,
+        *,
+        weight=None,
+    ):
+        if preserve_edge_attrs and edge_attrs is None:
+            attrs = set().union(
+                *(d for nbrs in graph._adj.values() for d in nbrs.values())
+            )
+            if len(attrs) == 1:
+                edge_attrs = {attrs.pop(): None}
+            elif attrs:
+                raise NotImplementedError(
+                    "preserve_edge_attrs=True with multiple attrs is not implemented"
+                )
+        if node_attrs or preserve_node_attrs:
+            raise NotImplementedError("node attribute conversion is not implemented")
+        if edge_attrs:
+            if len(edge_attrs) > 1:
+                raise NotImplementedError("multiple edge attributes not implemented")
+            if weight is not None:
+                raise TypeError("edge_attrs and weight both given")
+            [[weight, default]] = edge_attrs.items()
+            if default is not None and default != 1:
+                raise NotImplementedError(f"edge default != 1 not implemented: {default}")
+        return convert_from_nx(graph, weight)
+
+    @staticmethod
+    def convert_to_nx(obj, *, name=None):
+        return convert_to_nx(obj, name=name)
 
     # -- link analysis -------------------------------------------------
     @staticmethod
@@ -215,6 +258,14 @@ class Dispatcher:
 
         g = convert_from_nx(graph, weight)
         if g.directed:
+            from .pipelines.cluster_directed import single_clustering_directed
+
+            if nodes is not None and not isinstance(nodes, (list, set, tuple)):
+                return float(
+                    single_clustering_directed(
+                        g, _id_of(g, nodes), weighted=weight is not None
+                    )
+                )
             res = _vertex_dict(
                 g, clustering_directed(g, weighted=weight is not None), "clustering"
             )

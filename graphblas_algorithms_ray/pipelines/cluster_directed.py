@@ -308,6 +308,79 @@ def clustering_directed(G, weighted: bool = False) -> ray.data.Dataset:
     return tri.map_batches(_Div(), batch_format="pyarrow")
 
 
+def _node_row(G, v: int):
+    """One node's CSR row (neighbors, weights), self-edge excluded."""
+    k = v % G.num_parts
+    csr = ray.get(G.csr_refs[k])
+    pos = int(np.searchsorted(csr["srcs"], v))
+    if pos >= csr["srcs"].size or csr["srcs"][pos] != v:
+        return np.empty(0, np.int64), None
+    lo, hi = int(csr["indptr"][pos]), int(csr["indptr"][pos + 1])
+    nb = csr["dst"][lo:hi]
+    w = csr["weight"][lo:hi] if csr.get("weight") is not None else None
+    m = nb != v
+    return nb[m], (w[m] if w is not None else None)
+
+
+def single_clustering_directed(G, node, *, weighted: bool = False) -> float:
+    """Directed (Fagiolo) clustering of ONE node without the all-nodes
+    join (reference ``cluster.py:151-173``): fetch the node's out/in rows,
+    probe the O(|N|²) closing arcs in both directions, combine with
+    B_vu = dir(v→u) + dir(u→v) (cbrt(w/max_w) per direction when
+    weighted); c = T / (d_tot(d_tot−1) − 2·d_recip)."""
+    from .triangles import _probe_pairs, _shard_max_weight
+
+    G._ensure_built()
+    v = int(node)
+    rv = G.reverse()
+    rv._ensure_built()
+    out_nb, out_w = _node_row(G, v)
+    in_nb, in_w = _node_row(rv, v)
+    dtot = out_nb.size + in_nb.size
+    drecip = np.intersect1d(out_nb, in_nb).size
+    denom = dtot * (dtot - 1) - 2 * drecip
+    if denom <= 0:
+        return 0.0
+    max_w = 1.0
+    if weighted:
+        if not G.weighted:
+            raise ValueError("weighted single_clustering_directed needs weights")
+        max_w = (
+            max(ray.get([_shard_max_weight.remote(r) for r in G.csr_refs]) + [0.0])
+            or 1.0
+        )
+    N = np.unique(np.concatenate([out_nb, in_nb]))
+    if N.size < 2:
+        return 0.0
+    bv = np.zeros(N.size)
+    if weighted:
+        bv[np.searchsorted(N, out_nb)] += np.cbrt(out_w / max_w)
+        bv[np.searchsorted(N, in_nb)] += np.cbrt(in_w / max_w)
+    else:
+        bv[np.searchsorted(N, out_nb)] += 1.0
+        bv[np.searchsorted(N, in_nb)] += 1.0
+    iu, jw = np.triu_indices(N.size, k=1)
+    a, b = N[iu], N[jw]
+    buw = np.zeros(a.size)
+    for x, y in ((a, b), (b, a)):  # both arc directions of the closer
+        parts = (x % G.num_parts).astype(np.int64)
+        for k in np.unique(parts):
+            sel = np.nonzero(parts == k)[0]
+            ok, w_ab = ray.get(
+                _probe_pairs.remote(G.csr_refs[int(k)], G.n, x[sel], y[sel])
+            )
+            if weighted:
+                add = np.zeros(sel.size)
+                add[ok] = np.cbrt(np.asarray(w_ab) / max_w)
+                buw[sel] += add
+            else:
+                buw[sel] += ok.astype(np.float64)
+    tri = float((bv[iu] * buw * bv[jw]).sum())
+    if tri == 0.0:
+        return 0.0
+    return tri / denom
+
+
 def average_clustering_directed(
     G, count_zeros: bool = True, weighted: bool = False
 ) -> float:

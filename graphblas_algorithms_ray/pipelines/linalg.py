@@ -131,8 +131,31 @@ def bethe_hessian_matrix(G, r: float | None = None) -> ray.data.Dataset:
     regularizer r = sum(d²)/sum(d) - 1 as in the reference."""
     G._ensure_built()
     if r is None:
-        deg = G.degrees_ds("out").to_pandas()["degree"].values.astype(float)
-        r = (deg * deg).sum() / max(deg.sum(), 1.0) - 1.0
+        # reference: r = (Σd²)/(Σd) − 1 over degrees+ — Dataset aggregate,
+        # no driver pull of the degree table
+        agg = G.degrees_ds("out").map_batches(
+            lambda t: pa.table(
+                {
+                    "k": pa.array(
+                        [float(t["degree"].to_numpy(zero_copy_only=False).sum())]
+                    ),
+                    "k2": pa.array(
+                        [
+                            float(
+                                (
+                                    t["degree"].to_numpy(zero_copy_only=False).astype(np.float64)
+                                    ** 2
+                                ).sum()
+                            )
+                        ]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()  # two aggregates below; avoid lineage re-execution
+        k = float(agg.sum("k") or 0.0)
+        k2 = float(agg.sum("k2") or 0.0)
+        r = k2 / max(k, 1.0) - 1.0
     ident = _degree_diag(G, transform=lambda d: np.full(d.size, r * r - 1.0))
     diag = _degree_diag(G)
     offd = adjacency_matrix(G).map_batches(
@@ -147,8 +170,11 @@ def bethe_hessian_matrix(G, r: float | None = None) -> ray.data.Dataset:
 
 
 def modularity_matrix(G):
-    """B = A - k kᵀ / 2m, kept FACTORED: returns (adjacency Dataset,
-    degree Dataset, m) — the dense rank-1 term is never materialized
-    (``linalg/modularitymatrix.py:8-37``; web-scale non-goal to densify)."""
+    """B = A - k kᵀ / m with m = Σk (reference
+    ``linalg/modularitymatrix.py:8-16``: ``m = k.reduce()``), kept
+    FACTORED: returns (adjacency Dataset, degree Dataset, m) — the dense
+    rank-1 term is never materialized (web-scale non-goal to densify).
+    For the engine's symmetrized undirected storage Σ out-degree equals
+    the stored arc count ``G.m``."""
     G._ensure_built()
     return adjacency_matrix(G), G.degrees_ds("out"), G.m

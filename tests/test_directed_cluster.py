@@ -43,6 +43,32 @@ def test_random_directed_clustering():
     _check_clustering(G, 40)
 
 
+def test_single_clustering_directed_fast_path():
+    # one-node fast path (reference cluster.py:151-173) vs nx, on the
+    # mutated-K5 fixture and a random digraph, unweighted and weighted
+    from graphblas_algorithms_ray.pipelines.cluster_directed import (
+        single_clustering_directed,
+    )
+
+    G = _mutated_k5()
+    g = Graph.from_networkx(G, num_parts=3)
+    exp = nx.clustering(G)
+    for v in G.nodes():
+        assert abs(single_clustering_directed(g, v) - exp[v]) < 1e-12, v
+
+    G2 = nx.gnp_random_graph(25, 0.18, seed=7, directed=True)
+    rng = np.random.RandomState(8)
+    for u, w in G2.edges():
+        G2[u][w]["weight"] = float(rng.randint(1, 5))
+    g2u = Graph.from_networkx(G2, num_parts=3)
+    g2w = Graph.from_networkx(G2, weighted=True, num_parts=3)
+    expu = nx.clustering(G2)
+    expw = nx.clustering(G2, weight="weight")
+    for v in (0, 3, 11, 24):
+        assert abs(single_clustering_directed(g2u, v) - expu[v]) < 1e-12
+        assert abs(single_clustering_directed(g2w, v, weighted=True) - expw[v]) < 1e-9
+
+
 def _transitivity_directed_oracle(G):
     # reference formula: Σ_{(u,w)∈E} |N_out(u) ∩ N_out(w)| / Σ d(d-1)
     num = 0

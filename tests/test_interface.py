@@ -120,6 +120,39 @@ def test_dispatcher_weighted_directed_clustering():
     )
 
 
+def test_nx_backend_dispatch():
+    # drive networkx's REAL backend-dispatch machinery against the
+    # Dispatcher exactly as the pyproject entry point would load it
+    from networkx.utils import backends as nxb
+    from graphblas_algorithms_ray.interface import Dispatcher
+
+    class _EP:  # entry-point stand-in (same .load() protocol)
+        name = "graphblas_ray"
+
+        def load(self):
+            return Dispatcher
+
+    nxb.backends["graphblas_ray"] = _EP()
+    nxb.backend_info.setdefault("graphblas_ray", {})
+    # nx binds _dispatchable.__call__ at import based on whether any
+    # backend entry points were installed; pip install is unavailable in
+    # this sandbox, so restore the installed-backend call path too
+    old_call = nxb._dispatchable.__call__
+    nxb._dispatchable.__call__ = nxb._dispatchable._call_if_any_backends_installed
+    try:
+        G = nx.gnp_random_graph(30, 0.12, seed=11, directed=True)
+        got = nx.pagerank(G, backend="graphblas_ray")
+        exp = nx.algorithms.link_analysis.pagerank_alg._pagerank_python(G)
+        assert max(abs(got[k] - exp[k]) for k in exp) < 1e-6
+        GU = G.to_undirected()
+        assert nx.triangles(GU, backend="graphblas_ray") == nx.triangles(GU)
+    finally:
+        nxb._dispatchable.__call__ = old_call
+        nxb.backends.pop("graphblas_ray", None)
+        nxb.backend_info.pop("graphblas_ray", None)
+        nxb._loaded_backends.pop("graphblas_ray", None)
+
+
 def test_convert_cache_invalidates_on_mutation():
     # ADVICE r2: mutating the nx graph must not re-dispatch against the
     # stale pre-mutation conversion
