@@ -26,13 +26,17 @@ def hourly_windows(events: ray.data.Dataset) -> ray.data.Dataset:
         tt = pa.table(
             {"event_type": t["event_type"], "hour": hour, "value": t["value"]}
         )
-        df = tt.to_pandas()
-        g = (
-            df.groupby(["event_type", "hour"], sort=False)["value"]
-            .agg(n="size", sum_value="sum")
-            .reset_index()
+        g = tt.group_by(["event_type", "hour"]).aggregate(
+            [("value", "count"), ("value", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "hour": g["hour"],
+                "n": pc.cast(g["value_count"], pa.int64()),
+                "sum_value": g["value_sum"],
+            }
+        )
 
     partial = events.select_columns(["event_type", "ts", "value"]).map_batches(
         _partial, batch_format="pyarrow"
