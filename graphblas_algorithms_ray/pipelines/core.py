@@ -104,7 +104,7 @@ def edge_support(G) -> ray.data.Dataset:
     """(u, w, support): per canonical undirected edge (u < v, ORIGINAL ids),
     the number of triangles it participates in. Internally runs in the
     degree-rank space of pipelines/triangles (hub-safe orientation)."""
-    g, fg, rank_ref, perm_ref = _forward_graph(G)
+    g, fg, rm = _forward_graph(G)
     P = fg.num_parts
     if _tri_exchange() == "shuffle":
         wedges = ray.data.range(P, override_num_blocks=P).map_batches(
@@ -122,24 +122,20 @@ def edge_support(G) -> ray.data.Dataset:
         named(_SumEdgeSupport()), batch_format="pyarrow"
     )
 
-    class _Back:
-        def __init__(self):
-            self._perm = None
+    mapped = rm.back_cols(counted.select_columns(["u", "w", "support"]), ["u", "w"])
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._perm is None:
-                self._perm = ray.get(perm_ref)
-            u = self._perm[t["u"].to_numpy(zero_copy_only=False)]
-            w = self._perm[t["w"].to_numpy(zero_copy_only=False)]
-            return pa.table(
-                {
-                    "u": pa.array(np.minimum(u, w)),
-                    "w": pa.array(np.maximum(u, w)),
-                    "support": t["support"],
-                }
-            )
+    def _canon_uw(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(u, w)),
+                "w": pa.array(np.maximum(u, w)),
+                "support": t["support"],
+            }
+        )
 
-    return counted.map_batches(_Back(), batch_format="pyarrow")
+    return mapped.map_batches(named(_canon_uw), batch_format="pyarrow")
 
 
 def k_truss(G, k: int, max_rounds: int | None = None) -> Graph:

@@ -47,10 +47,9 @@ def _degree_rank(g):
     Degree-ordered orientation bounds every vertex's FORWARD degree by
     O(sqrt(m)) (arboricity bound) — without it a min-id hub with k
     in-links generates C(k,2) wedges (the quadratic blow-up the reference
-    avoids with its L-mask + heuristics). Driver-side argsort here is fine
-    to ~1e8 vertices; beyond that reuse the distributed sample-splitter
-    dense-rank from sources/extract.build_vertex_dictionary on the degree
-    table (same algorithm, integer keys)."""
+    avoids with its L-mask + heuristics). This driver-side argsort is the
+    SMALL-graph tier; graphs with n >= GRAFT_RANK_DIST_MIN_N use the
+    sharded rank (``_degree_rank_dist``) with no O(n) driver arrays."""
     degs = np.zeros(g.n, dtype=np.int64)
     for k in range(g.num_parts):
         aux = ray.get(g.aux_refs[k])
@@ -62,10 +61,226 @@ def _degree_rank(g):
     return rank, perm
 
 
+def _rank_dist_min_n() -> int:
+    import os
+
+    return int(os.environ.get("GRAFT_RANK_DIST_MIN_N", str(1 << 25)))
+
+
+@ray.remote
+def _deg_hist_task(aux):
+    d = aux["out_cnt"] - aux["out_self"]
+    return np.unique(d, return_counts=True)
+
+
+@ray.remote
+def _rank_shard_task(aux, u_degs, base_k):
+    """Ranks of part k's vertices: base of (degree class, part) + position
+    within the part's class (stable by local index = by id within part)."""
+    d = aux["out_cnt"] - aux["out_self"]
+    order = np.argsort(d, kind="stable")
+    dsort = d[order]
+    newrun = np.r_[True, dsort[1:] != dsort[:-1]] if d.size else np.empty(0, bool)
+    starts = np.flatnonzero(newrun)
+    runid = np.cumsum(newrun) - 1 if d.size else newrun.astype(np.int64)
+    within = np.arange(d.size) - (starts[runid] if d.size else 0)
+    rb = base_k[np.searchsorted(u_degs, dsort)]
+    ranks = np.empty(d.size, np.int64)
+    ranks[order] = rb + within
+    return ranks
+
+
+@ray.remote
+def _perm_frag_task(rank_k, k, P):
+    """Split part k's (rank, id) pairs into P fragments by rank % P."""
+    v = k + np.arange(rank_k.size, dtype=np.int64) * P
+    j = rank_k % P
+    return tuple((rank_k[j == b] // P, v[j == b]) for b in range(P))
+
+
+@ray.remote
+def _perm_gather_task(usize_j, *frags):
+    out = np.empty(usize_j, np.int64)
+    for slots, ids in frags:
+        out[slots] = ids
+    return out
+
+
+def _degree_rank_dist(g):
+    """Sharded degree rank: per-part rank arrays (id space, strided v % P)
+    and per-part perm arrays (rank space, strided rank % P), built from
+    per-part degree histograms only — no O(n) array ever touches the
+    driver (driver state is O(#distinct degrees), ~O(sqrt m) on web
+    graphs).
+
+    Tie-break within a degree class is part-major (part, then id) rather
+    than the broadcast tier's global-id order; any deterministic total
+    order consistent with degree yields identical triangle/truss results
+    (the orientation only needs *a* strict order with the arboricity
+    bound)."""
+    P = g.num_parts
+    hists = ray.get([_deg_hist_task.remote(r) for r in g.aux_refs])
+    all_degs = np.unique(np.concatenate([u for u, _ in hists]))
+    class_tot = np.zeros(all_degs.size, dtype=np.int64)
+    for u, c in hists:
+        class_tot[np.searchsorted(all_degs, u)] += c
+    cum_base = np.concatenate(([0], np.cumsum(class_tot)[:-1]))
+    running = cum_base.copy()
+    rank_refs = []
+    for k, (u, c) in enumerate(hists):
+        idx = np.searchsorted(all_degs, u)
+        base_k = running[idx].copy()
+        running[idx] += c
+        rank_refs.append(_rank_shard_task.remote(g.aux_refs[k], u, base_k))
+    frag_refs = [
+        _perm_frag_task.options(num_returns=P).remote(rank_refs[k], k, P)
+        for k in range(P)
+    ]
+    if P == 1:
+        frag_refs = [[f] for f in frag_refs]
+    perm_refs = [
+        _perm_gather_task.remote(
+            universe_size(j, g.n, P), *[frag_refs[k][j] for k in range(P)]
+        )
+        for j in range(P)
+    ]
+    return rank_refs, perm_refs
+
+
+class _AddPartCol:
+    def __init__(self, col, P):
+        self.col, self.P = col, P
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        v = t[self.col].to_numpy(zero_copy_only=False)
+        return t.append_column("__bp", pa.array((v % self.P).astype(np.int32)))
+
+
+class _MapColShard:
+    """map_groups callable for one __bp group: col value -> shard[value // P].
+
+    Each group task fetches exactly ONE shard (O(n/P) bytes); the cache
+    holds a single shard so an actor reused across groups never exceeds
+    one-shard memory."""
+
+    def __init__(self, shard_refs, P, col):
+        self.refs, self.P, self.col = shard_refs, P, col
+        self._k, self._arr = None, None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            v = t[self.col].to_numpy(zero_copy_only=False)
+            k = int(v[0] % self.P)
+            if self._k != k:
+                self._k, self._arr = k, ray.get(self.refs[k])
+            idx = t.schema.get_field_index(self.col)
+            t = t.set_column(idx, self.col, pa.array(self._arr[v // self.P]))
+        return t.drop_columns(["__bp"])
+
+
+def _map_col_via_shards(ds, col, shard_refs, P):
+    """Replace ds[col] with shard lookup via a hash-partition shuffle on
+    col % P (the sharded tier's substitute for broadcast gather)."""
+    tagged = ds.map_batches(_AddPartCol(col, P), batch_format="pyarrow")
+    return tagged.groupby("__bp").map_groups(
+        named(_MapColShard(shard_refs, P, col)), batch_format="pyarrow"
+    )
+
+
+class _RankMap:
+    """Tiered id↔rank mapping for the degree-ordered orientation.
+
+    kind="bcast": rank/perm as two whole-array plasma objects (zero-copy
+    gather per batch — one pass, no shuffle). kind="shard": P per-part
+    refs each; every mapping is a groupby(v % P) shuffle where each group
+    task reads only its own O(n/P) shard. Broadcast at 1e9 vertices would
+    mean 8 GB per array per node plus a driver-side lexsort, hence the
+    tier switch at GRAFT_RANK_DIST_MIN_N (default 2^25)."""
+
+    def __init__(self, kind, P, rank_ref=None, perm_ref=None, rank_refs=None, perm_refs=None):
+        self.kind, self.P = kind, P
+        self.rank_ref, self.perm_ref = rank_ref, perm_ref
+        self.rank_refs, self.perm_refs = rank_refs, perm_refs
+
+    @classmethod
+    def build(cls, g):
+        if g.n >= _rank_dist_min_n():
+            rank_refs, perm_refs = _degree_rank_dist(g)
+            return cls("shard", g.num_parts, rank_refs=rank_refs, perm_refs=perm_refs)
+        rank, perm = _degree_rank(g)
+        return cls("bcast", g.num_parts, rank_ref=ray.put(rank), perm_ref=ray.put(perm))
+
+    def canon_edges(self, edges, weighted):
+        """(src, dst[, weight]) -> forward rank-space arcs rank(u) < rank(v)
+        (drops self loops)."""
+        if self.kind == "bcast":
+            rank_ref = self.rank_ref
+
+            class _Canon:
+                def __init__(self):
+                    self._rank = None
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    if self._rank is None:
+                        self._rank = ray.get(rank_ref)
+                    s = self._rank[t["src"].to_numpy(zero_copy_only=False)]
+                    d = self._rank[t["dst"].to_numpy(zero_copy_only=False)]
+                    m = s < d  # drops self loops, keeps low-rank→high-rank
+                    cols = {"src": pa.array(s[m]), "dst": pa.array(d[m])}
+                    if "weight" in t.column_names:
+                        cols["weight"] = pa.array(
+                            t["weight"].to_numpy(zero_copy_only=False)[m]
+                        )
+                    return pa.table(cols)
+
+            return edges.map_batches(_Canon(), batch_format="pyarrow")
+        mapped = _map_col_via_shards(edges, "src", self.rank_refs, self.P)
+        mapped = _map_col_via_shards(mapped, "dst", self.rank_refs, self.P)
+
+        def _fwd(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            m = s < d
+            cols = {"src": pa.array(s[m]), "dst": pa.array(d[m])}
+            if "weight" in t.column_names:
+                cols["weight"] = pa.array(t["weight"].to_numpy(zero_copy_only=False)[m])
+            return pa.table(cols)
+
+        return mapped.map_batches(named(_fwd), batch_format="pyarrow")
+
+    def back_cols(self, ds, cols):
+        """Map rank-space id columns back to original ids (other columns
+        pass through unchanged)."""
+        if self.kind == "bcast":
+            perm_ref = self.perm_ref
+            want = list(cols)
+
+            class _Back:
+                def __init__(self):
+                    self._perm = None
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    if self._perm is None:
+                        self._perm = ray.get(perm_ref)
+                    for c in want:
+                        idx = t.schema.get_field_index(c)
+                        t = t.set_column(
+                            idx,
+                            c,
+                            pa.array(self._perm[t[c].to_numpy(zero_copy_only=False)]),
+                        )
+                    return t
+
+            return ds.map_batches(_Back(), batch_format="pyarrow")
+        for c in cols:
+            ds = _map_col_via_shards(ds, c, self.perm_refs, self.P)
+        return ds
+
+
 def _forward_graph(G):
     """Degree-ordered forward orientation: edges (rank(u) → rank(v)) with
     rank(u) < rank(v), in RANK space (dense 0..n-1). Returns
-    (undirected graph, forward Graph, rank_ref, perm_ref)."""
+    (undirected graph, forward Graph, _RankMap)."""
     from ..state.graph import Graph
 
     g = G.to_undirected() if G.directed else G
@@ -73,28 +288,9 @@ def _forward_graph(G):
 
     key = "triangle_forward"
     if key not in g._cache:
-        rank, perm = _degree_rank(g)
-        rank_ref, perm_ref = ray.put(rank), ray.put(perm)
-
-        class _Canon:
-            def __init__(self):
-                self._rank = None
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if self._rank is None:
-                    self._rank = ray.get(rank_ref)
-                s = self._rank[t["src"].to_numpy(zero_copy_only=False)]
-                d = self._rank[t["dst"].to_numpy(zero_copy_only=False)]
-                m = s < d  # drops self loops, keeps the low-rank→high-rank arc
-                cols = {"src": pa.array(s[m]), "dst": pa.array(d[m])}
-                if "weight" in t.column_names:
-                    cols["weight"] = pa.array(
-                        t["weight"].to_numpy(zero_copy_only=False)[m]
-                    )
-                return pa.table(cols)
-
+        rm = _RankMap.build(g)
         fg = Graph(
-            g.edges_ds().map_batches(_Canon(), batch_format="pyarrow"),
+            rm.canon_edges(g.edges_ds(), g.weighted),
             n=g.n,
             directed=True,
             weighted=g.weighted,
@@ -103,9 +299,9 @@ def _forward_graph(G):
             name=g.name + "_fwd",
         )
         fg._ensure_built()
-        g._cache[key] = (fg, rank_ref, perm_ref)
-    fg, rank_ref, perm_ref = g._cache[key]
-    return g, fg, rank_ref, perm_ref
+        g._cache[key] = (fg, rm)
+    fg, rm = g._cache[key]
+    return g, fg, rm
 
 
 class _WedgeGen:
@@ -503,7 +699,7 @@ class _FillMissingParts:
         )
 
 
-def _fill_and_back(per_part, fg, P, col, perm_ref, dtype=np.int64):
+def _fill_and_back(per_part, fg, P, col, rm, dtype=np.int64):
     """Union in zero rows for parts with no corners; map rank ids back."""
     have = set()
     for r in per_part.map_batches(
@@ -517,29 +713,14 @@ def _fill_and_back(per_part, fg, P, col, perm_ref, dtype=np.int64):
             _FillMissingParts(fg.n, P, col, dtype), batch_format="pyarrow"
         )
         per_part = per_part.union(fill)
-
-    class _Back:
-        def __init__(self):
-            self._perm = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._perm is None:
-                self._perm = ray.get(perm_ref)
-            return pa.table(
-                {
-                    "v": pa.array(self._perm[t["v"].to_numpy(zero_copy_only=False)]),
-                    col: t[col],
-                }
-            )
-
-    return per_part.map_batches(_Back(), batch_format="pyarrow")
+    return rm.back_cols(per_part.select_columns(["v", col]), ["v"])
 
 
 def weighted_triangle_sums(G) -> ray.data.Dataset:
     """(v, tw): per-node Σ over incident triangles of
     cbrt(ŵ_uv·ŵ_uw·ŵ_vw), ŵ = w / max(w) — the reference's cbrt
     ``plus_times`` weighted-triangle kernel (``cluster.py:24-53``)."""
-    g, fg, rank_ref, perm_ref = _forward_graph(G)
+    g, fg, rm = _forward_graph(G)
     if not fg.weighted:
         raise ValueError("weighted_triangle_sums requires a weighted graph")
     P = fg.num_parts
@@ -564,13 +745,13 @@ def weighted_triangle_sums(G) -> ray.data.Dataset:
         .map_groups(named(_SumPerVertex(fg.n, P, "tw")), batch_format="pyarrow")
         .materialize()
     )
-    return _fill_and_back(per_part, fg, P, "tw", perm_ref, dtype=np.float64)
+    return _fill_and_back(per_part, fg, P, "tw", rm, dtype=np.float64)
 
 
 def _corner_counts(G) -> tuple:
-    """(graph, fwd graph, rank/perm refs, corner-count Dataset in RANK
-    space, pre-aggregated per probe)."""
-    g, fg, rank_ref, perm_ref = _forward_graph(G)
+    """(graph, fwd graph, rank map, corner-count Dataset in RANK space,
+    pre-aggregated per probe)."""
+    g, fg, rm = _forward_graph(G)
     P = fg.num_parts
     if _tri_exchange() == "shuffle":
         wedges = ray.data.range(P, override_num_blocks=P).map_batches(
@@ -584,50 +765,21 @@ def _corner_counts(G) -> tuple:
             _WedgeProbeCorners(fg.csr_refs, _probe_key_refs(fg), P, fg.n),
             batch_format="pyarrow",
         )
-    return g, fg, rank_ref, perm_ref, counts
+    return g, fg, rm, counts
 
 
 def triangles(G) -> ray.data.Dataset:
     """Per-node triangle counts over the full universe (0 for others).
 
     Reference ``algorithms/cluster.py:44-64`` (unweighted path)."""
-    g, fg, rank_ref, perm_ref, counts = _corner_counts(G)
+    g, fg, rm, counts = _corner_counts(G)
     P = fg.num_parts
     per_part = (
         counts.groupby("part")
         .map_groups(named(_SumPerVertex(fg.n, P, "triangles")), batch_format="pyarrow")
         .materialize()
     )
-    # parts with zero corners never appear in the groupby output; fill them
-    have = set()
-    for r in per_part.map_batches(
-        lambda t: pa.table({"p": pa.array(np.unique(t["v"].to_numpy(zero_copy_only=False) % P).astype(np.int32))}),
-        batch_format="pyarrow",
-    ).take_all():
-        have.add(int(r["p"]))
-    missing = [k for k in range(P) if k not in have and universe_size(k, fg.n, P)]
-    if missing:
-        fill = ray.data.from_items([{"id": k} for k in missing]).map_batches(
-            _FillMissingParts(fg.n, P, "triangles"), batch_format="pyarrow"
-        )
-        per_part = per_part.union(fill)
-
-    # map rank-space vertex ids back to original ids
-    class _Back:
-        def __init__(self):
-            self._perm = None
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            if self._perm is None:
-                self._perm = ray.get(perm_ref)
-            return pa.table(
-                {
-                    "v": pa.array(self._perm[t["v"].to_numpy(zero_copy_only=False)]),
-                    "triangles": t["triangles"],
-                }
-            )
-
-    return per_part.map_batches(_Back(), batch_format="pyarrow")
+    return _fill_and_back(per_part, fg, P, "triangles", rm)
 
 
 def triangles_dict(G) -> dict:
@@ -637,7 +789,7 @@ def triangles_dict(G) -> dict:
 
 def total_triangles(G) -> int:
     """Global triangle count (``cluster.py:67-71`` SandiaDot equivalent)."""
-    _, _, _, _, counts = _corner_counts(G)
+    _, _, _, counts = _corner_counts(G)
     s = counts.sum("c")
     return int((s or 0) // 3)
 

@@ -125,3 +125,63 @@ def test_single_node_fast_paths():
             < 1e-12
         )
         assert single_generalized_degree(g, v) == dict(nx.generalized_degree(G, v))
+
+
+def test_sharded_rank_tier():
+    """GRAFT_RANK_DIST_MIN_N=0 forces the sharded (no-O(n)-driver) degree
+    rank; triangles / clustering / edge_support / k_truss must match the
+    broadcast tier (= NetworkX) exactly."""
+    import os
+
+    from graphblas_algorithms_ray.pipelines.core import edge_support, k_truss
+    from graphblas_algorithms_ray.pipelines.triangles import _RankMap, _forward_graph
+
+    G = nx.gnp_random_graph(70, 0.1, seed=9)
+    G.add_nodes_from(range(78))
+    os.environ["GRAFT_RANK_DIST_MIN_N"] = "0"
+    try:
+        g = Graph(list(G.edges()), n=78, directed=False, num_parts=3)
+        _, _, rm = _forward_graph(g)
+        assert rm.kind == "shard"
+        assert triangles_dict(g) == nx.triangles(G)
+        assert total_triangles(g) == sum(nx.triangles(G).values()) // 3
+        es = edge_support(g).to_pandas()
+        exp = {
+            tuple(sorted(e)): s
+            for e in G.edges()
+            if (s := sum(1 for w in G if G.has_edge(e[0], w) and G.has_edge(e[1], w)))
+        }
+        got = {(int(r.u), int(r.w)): int(r.support) for r in es.itertuples()}
+        assert got == exp
+        kt = k_truss(g, 4)
+        kt_edges = sorted(
+            {(min(int(r["src"]), int(r["dst"])), max(int(r["src"]), int(r["dst"])))
+             for r in kt.edges_ds().take_all()}
+        )
+        exp_edges = sorted(
+            (min(u, v), max(u, v)) for u, v in nx.k_truss(G, 4).edges()
+        )
+        assert kt_edges == exp_edges
+    finally:
+        os.environ.pop("GRAFT_RANK_DIST_MIN_N", None)
+
+
+def test_sharded_rank_weighted():
+    import os
+
+    rng = np.random.RandomState(11)
+    G = nx.gnp_random_graph(40, 0.2, seed=11)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.randint(1, 9))
+    os.environ["GRAFT_RANK_DIST_MIN_N"] = "0"
+    try:
+        g = Graph(
+            [(u, v, G[u][v]["weight"]) for u, v in G.edges()],
+            n=40, directed=False, weighted=True, num_parts=3,
+        )
+        ours = clustering(g, weight="weight").to_pandas().set_index("v")["clustering"].to_dict()
+        theirs = nx.clustering(G, weight="weight")
+        for v in theirs:
+            assert abs(ours[v] - theirs[v]) < 1e-12, v
+    finally:
+        os.environ.pop("GRAFT_RANK_DIST_MIN_N", None)
