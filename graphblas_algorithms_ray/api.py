@@ -456,20 +456,28 @@ def q_multi_bfs(sf_dir):
     return multi_source_bfs(lineitem_graph(sf_dir), sources)
 
 
-# -- corpus-pipeline queries (no SQL oracle; rows-only driver check) --------
+# -- corpus-pipeline queries -------------------------------------------------
+# Oracles read the GENERATOR ground truth (sources/corpus.ground_truth_parquet
+# — pure xorshift64 arithmetic, independent of the extraction code under
+# test), so the SQL checks the whole html→links→dictionary→kernel pipeline.
 
 _corpus_graph_cache: dict = {}
+
+
+def _corpus_n_docs(sf_dir) -> int:
+    return {"0.001": 1000, "0.01": 5000, "0.1": 20000}.get(
+        sf_dir.rstrip("/").split("sf")[-1], 1000
+    )
 
 
 def _corpus_graph(sf_dir):
     if sf_dir not in _corpus_graph_cache:
         import ray.data
-        from .sources.corpus import corpus_parquet
+        from .sources.corpus import corpus_parquet, ground_truth_parquet
         from .sources.extract import graph_from_corpus
 
-        n_docs = {"0.001": 1000, "0.01": 5000, "0.1": 20000}.get(
-            sf_dir.rstrip("/").split("sf")[-1], 1000
-        )
+        n_docs = _corpus_n_docs(sf_dir)
+        ground_truth_parquet(n_docs)  # oracle side table
         corpus = ray.data.read_parquet(corpus_parquet(n_docs))
         g, d = graph_from_corpus(corpus, num_parts=8)
         _corpus_graph_cache[sf_dir] = (g, d)
@@ -480,7 +488,25 @@ def q_corpus_pagerank(sf_dir):
     from .pipelines.pagerank import pagerank
 
     g, _ = _corpus_graph(sf_dir)
-    return pagerank(g)
+    pr = pagerank(
+        g,
+        alpha=ALPHA,
+        max_iter=PR_ITERS,
+        tol=0.0,  # fixed-iteration mode: matches the unrolled SQL exactly
+        chain=PR_ITERS,
+        raise_on_failure=False,
+    )
+    return pr.map_batches(
+        lambda t: pa.table(
+            {
+                "v": t["v"],
+                "pagerank": pa.array(
+                    np.round(t["pagerank"].to_numpy(zero_copy_only=False), 8)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def q_corpus_components(sf_dir):
@@ -492,12 +518,11 @@ def q_corpus_components(sf_dir):
 
 def q_corpus_extract_text(sf_dir):
     import ray.data
-    from .sources.corpus import corpus_parquet
+    from .sources.corpus import corpus_parquet, ground_truth_parquet
     from .sources.extract import extract_text
 
-    n_docs = {"0.001": 1000, "0.01": 5000, "0.1": 20000}.get(
-        sf_dir.rstrip("/").split("sf")[-1], 1000
-    )
+    n_docs = _corpus_n_docs(sf_dir)
+    ground_truth_parquet(n_docs)  # oracle side table
     return extract_text(ray.data.read_parquet(corpus_parquet(n_docs)))
 
 
@@ -940,3 +965,52 @@ SELECT qid, nid, ROUND(sim, 6) AS score FROM (
   FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) t
 WHERE rn <= 5 ORDER BY qid, score DESC, nid""",
 }
+
+
+# -- corpus oracles: SQL over the GENERATOR ground-truth parquet -------------
+# (written by sources/corpus.ground_truth_parquet when the corpus queries
+# run; pure xorshift64 arithmetic independent of the extraction pipeline, so
+# these check html→links→dictionary→kernel end-to-end. The driver's
+# correctness pass runs at sf0.01 → n_docs=5000.)
+
+_CORPUS_N = 5000
+_CORPUS_TRUTH = f"/tmp/gar/truth/n{_CORPUS_N}"
+_CORPUS_G = f"""cdict AS MATERIALIZED (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY url) - 1 AS v FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet')),
+cverts AS MATERIALIZED (SELECT v FROM cdict),
+cedges AS MATERIALIZED (SELECT DISTINCT s.v AS src, d.v AS dst
+  FROM read_parquet('{_CORPUS_TRUTH}/edges.parquet') e
+  JOIN cdict s ON s.doc_id = e.src JOIN cdict d ON d.doc_id = e.dst),
+codeg AS MATERIALIZED (SELECT src AS v, COUNT(*)::DOUBLE AS d FROM cedges GROUP BY src)"""
+
+
+def _corpus_pagerank_sql() -> str:
+    N = _CORPUS_N
+    parts = [f"WITH {_CORPUS_G},\nr0 AS MATERIALIZED (SELECT v, 1.0/{N} AS r FROM cverts)"]
+    for i in range(PR_ITERS):
+        parts.append(
+            f""",
+dm{i} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) AS m FROM r{i} WHERE v NOT IN (SELECT v FROM codeg)),
+r{i + 1} AS MATERIALIZED (
+  SELECT cverts.v,
+         (1 - {ALPHA})/{N} + {ALPHA} * (SELECT m FROM dm{i})/{N} + COALESCE(c.s, 0) AS r
+  FROM cverts LEFT JOIN (
+    SELECT e.dst AS v, SUM({ALPHA} * rr.r / o.d) AS s
+    FROM cedges e JOIN r{i} rr ON rr.v = e.src JOIN codeg o ON o.v = e.src
+    GROUP BY e.dst) c USING (v))"""
+        )
+    parts.append(f"\nSELECT v, ROUND(r, 8) AS pagerank FROM r{PR_ITERS} ORDER BY v")
+    return "".join(parts)
+
+
+ORACLE_SQL["corpus_pagerank"] = _corpus_pagerank_sql()
+ORACLE_SQL["corpus_components"] = f"""WITH RECURSIVE {_CORPUS_G},
+csym AS MATERIALIZED (SELECT src AS a, dst AS b FROM cedges UNION SELECT dst, src FROM cedges),
+walk(v, lab) AS (
+  SELECT v, v FROM cverts
+  UNION
+  SELECT s.b, w.lab FROM walk w JOIN csym s ON s.a = w.v WHERE w.lab < s.b
+)
+SELECT v, MIN(lab)::BIGINT AS component FROM walk GROUP BY v ORDER BY v"""
+ORACLE_SQL["corpus_extract_text"] = (
+    f"SELECT url, text FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet') ORDER BY url"
+)

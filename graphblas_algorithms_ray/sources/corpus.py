@@ -160,3 +160,44 @@ def ground_truth_edges(n_docs: int) -> set[tuple[int, int]]:
         for t in targets_of(d, n_docs):
             out.add((d, t))
     return out
+
+
+def ground_truth_parquet(n_docs: int, root: str = "/tmp/gar/truth") -> str:
+    """Export the generator's ground truth (docs + raw link targets) as
+    parquet for the DuckDB oracle side of the corpus queries.
+
+    Pure generator arithmetic — independent of the extraction pipeline
+    under test. docs.parquet: (doc_id, url, text); edges.parquet:
+    (src, dst) doc-id pairs INCLUDING injected dups/self-links (the SQL
+    dedups with DISTINCT, mirroring the engine's edge dedup)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, f"n{n_docs}")
+    done = os.path.join(path, "_SUCCESS")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    ids = np.arange(n_docs, dtype=np.int64)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "url": pa.array([url_of(int(i), n_docs) for i in ids], pa.string()),
+            "text": pa.array([text_of(int(i)) for i in ids], pa.string()),
+        }
+    )
+    pq.write_table(docs, os.path.join(path, "docs.parquet"))
+    src, dst = [], []
+    for d in range(n_docs):
+        for t in targets_of(d, n_docs):
+            src.append(d)
+            dst.append(t)
+    edges = pa.table(
+        {
+            "src": pa.array(np.asarray(src, dtype=np.int64)),
+            "dst": pa.array(np.asarray(dst, dtype=np.int64)),
+        }
+    )
+    pq.write_table(edges, os.path.join(path, "edges.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
