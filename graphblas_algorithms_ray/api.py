@@ -273,6 +273,14 @@ def q_centroids(sf_dir):
     return embedding_centroids(emb)
 
 
+def q_embedding_neardup(sf_dir):
+    import ray.data
+    from .pipelines.ann import embedding_neardup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup(emb, threshold=0.4, round_to=6)
+
+
 def q_bfs_levels(sf_dir):
     from .pipelines.traversal import bfs_levels
 
@@ -553,6 +561,7 @@ QUERIES = {
     "events_sessions": q_sessions,
     "ann_topk": q_ann_topk,
     "embedding_centroids": q_centroids,
+    "embedding_neardup": q_embedding_neardup,
     "bfs_levels": q_bfs_levels,
     "bellman_ford": q_bellman_ford,
     "edge_support": q_edge_support,
@@ -891,6 +900,11 @@ SELECT doc_id,
             WHEN c_fr > 0 THEN 'fr'
             ELSE 'unk' END AS lang_pred
 FROM c ORDER BY doc_id""",
+    "embedding_neardup": """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+ORDER BY id_a, id_b""",
     "embedding_centroids": """WITH ex AS (
   SELECT label, unnest(embedding::DOUBLE[]) AS x,
          generate_subscripts(embedding, 1) AS i

@@ -225,6 +225,161 @@ def ann_topk_lsh(
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+class _NearDupPairs:
+    """Emit (id_a, id_b, sim) for batch rows vs the broadcast matrix where
+    rounded cosine >= threshold and batch_id < other_id (each unordered pair
+    produced exactly once, self-pairs excluded). Rounding happens BEFORE the
+    threshold compare so engine and SQL oracle agree on boundary pairs."""
+
+    def __init__(self, ref, threshold, round_to, id_col):
+        self.ref, self.t, self.r, self.id_col = ref, threshold, round_to, id_col
+        self._all = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._all is None:
+            self._all = ray.get(self.ref)
+        all_ids, all_n = self._all
+        bids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = _to_matrix(t["embedding"])
+        bn = np.linalg.norm(bm, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        sims = (bm / bn) @ all_n.T  # (batch, N)
+        if self.r is not None:
+            sims = np.round(sims, self.r)
+        mask = (sims >= self.t) & (bids[:, None] < all_ids[None, :])
+        bi, aj = np.nonzero(mask)
+        return pa.table(
+            {
+                "id_a": pa.array(bids[bi]),
+                "id_b": pa.array(all_ids[aj]),
+                "sim": pa.array(sims[bi, aj]),
+            }
+        )
+
+
+def embedding_neardup(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.4,
+    *,
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """(id_a, id_b, sim): all unordered pairs with cosine >= threshold —
+    the exact brute-force baseline. The normalized matrix is broadcast once
+    (ray.put, zero-copy into every map task); each batch does one numpy
+    matmul against it and emits only the matches, so shuffle volume is
+    O(matches) while compute is O(N^2/P) spread across the pool.
+
+    The driver holds the N x d float64 matrix once to build the broadcast —
+    fine to ~1e8 x 64 doubles; past that (or past all-pairs compute budget)
+    use embedding_neardup_lsh, which only compares within LSH bands."""
+    rows = embeddings.select_columns([id_col, "embedding"]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids, m / norms))
+    return embeddings.map_batches(
+        _NearDupPairs(ref, threshold, round_to, id_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+
+
+class _BandSig:
+    """(bucket, vec_id, embedding) rows, one per band: bucket packs the
+    band index above the band's r-bit hyperplane signature."""
+
+    def __init__(self, planes_ref, bands, bits):
+        self.planes_ref, self.bands, self.bits = planes_ref, bands, bits
+        self._p = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._p is None:
+            self._p = ray.get(self.planes_ref)  # (bands*bits, dim)
+        m = _to_matrix(t["embedding"])
+        allbits = (m @ self._p.T) > 0  # (n, bands*bits)
+        outs = []
+        for b in range(self.bands):
+            sig = np.zeros(m.shape[0], dtype=np.int64)
+            for i in range(self.bits):
+                sig |= allbits[:, b * self.bits + i].astype(np.int64) << i
+            outs.append(
+                pa.table(
+                    {
+                        "bucket": pa.array((np.int64(b) << self.bits) | sig),
+                        "vec_id": t["vec_id"],
+                        "embedding": t["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+
+class _BucketPairs:
+    def __init__(self, threshold, round_to):
+        self.t, self.r = threshold, round_to
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(g["embedding"])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        mn = m / n
+        sims = mn @ mn.T
+        if self.r is not None:
+            sims = np.round(sims, self.r)
+        mask = (sims >= self.t) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(mask)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[ai]),
+                "id_b": pa.array(ids[bj]),
+                "sim": pa.array(sims[ai, bj]),
+            }
+        )
+
+
+class _FirstPair:
+    def __call__(self, g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+
+def embedding_neardup_lsh(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.4,
+    *,
+    bands: int = 8,
+    bits: int = 6,
+    dim: int = 64,
+    round_to: int | None = 6,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Approximate near-dup pairs, the 100-TB path: vectors sharing any
+    band's r-bit random-hyperplane signature land in one bucket (groupby
+    shuffle keyed on (band, signature)); exact cosine runs only inside
+    buckets, and a final (id_a, id_b) groupby dedupes pairs found by
+    several bands. Precision is exact (every emitted pair is verified);
+    recall = 1 - (1 - p^bits)^bands with p = 1 - theta/pi. Shuffle volume
+    is bands x the embedding data — the linear-amplification tradeoff that
+    replaces O(N^2) compute."""
+    planes_ref = ray.put(_hyperplanes(dim, bands * bits, seed))
+    banded = embeddings.map_batches(
+        _BandSig(planes_ref, bands, bits), batch_format="pyarrow"
+    )
+    pairs = banded.groupby("bucket").map_groups(
+        named(_BucketPairs(threshold, round_to)), batch_format="pyarrow"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        named(_FirstPair()), batch_format="pyarrow"
+    )
+
+
 def embedding_centroids(embeddings: ray.data.Dataset, label_col: str = "label") -> ray.data.Dataset:
     """(label, centroid list<double>, n): mean embedding per label —
     per-batch partial sums, one tiny combine."""

@@ -114,3 +114,64 @@ def test_ann_topk_lsh_bucketed():
         for s, nid in lst:
             if (qid, nid) in exact:
                 assert abs(s - exact[(qid, nid)]) < 1e-9
+
+
+def test_embedding_neardup_exact():
+    from graphblas_algorithms_ray.pipelines.ann import embedding_neardup
+
+    rng = np.random.RandomState(42)
+    vecs = rng.normal(size=(120, 16))
+    # plant two near-dup pairs
+    vecs[50] = vecs[10] + rng.normal(scale=0.01, size=16)
+    vecs[75] = vecs[20] * 1.5
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(120)]
+    )
+    out = embedding_neardup(ds, threshold=0.9, round_to=6).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    # brute-force oracle
+    n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(n @ n.T, 6)
+    want = {
+        (i, j)
+        for i in range(120)
+        for j in range(i + 1, 120)
+        if sims[i, j] >= 0.9
+    }
+    assert got == want
+    assert (10, 50) in got and (20, 75) in got
+    for r in out:
+        assert abs(r["sim"] - sims[r["id_a"], r["id_b"]]) < 1e-9
+
+
+def test_embedding_neardup_lsh_recall():
+    from graphblas_algorithms_ray.pipelines.ann import (
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(30, 16))
+    rows = []
+    vid = 0
+    vecs = {}
+    for b in range(30):
+        for k in range(3):  # 3 noisy copies per base vector → near-dup cliques
+            v = base[b] + rng.normal(scale=0.05, size=16)
+            vecs[vid] = v
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    ds = ray.data.from_items(rows)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(ds, threshold=0.95, round_to=6).take_all()
+    }
+    approx_rows = embedding_neardup_lsh(
+        ds, threshold=0.95, bands=8, bits=6, dim=16, round_to=6
+    ).take_all()
+    approx = {(r["id_a"], r["id_b"]) for r in approx_rows}
+    assert len(approx_rows) == len(approx)  # cross-band dedupe worked
+    assert approx <= exact  # exact in-bucket verification: precision 1.0
+    assert exact, "fixture must produce near-dup pairs"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, recall
