@@ -111,11 +111,23 @@ class ExtractLinks:
         return pairs.group_by(["src_url", "dst_url"]).aggregate([])
 
 
-def extract_links(corpus: ray.data.Dataset, concurrency=(1, 32)) -> ray.data.Dataset:
-    # callable class → actor pool; autoscales within `concurrency` so the
-    # read stage isn't starved
+_EXTRACT = ExtractLinks()
+
+
+def _extract_links_fn(batch: pa.Table) -> pa.Table:
+    return _EXTRACT(batch)
+
+
+def extract_links(corpus: ray.data.Dataset, concurrency=None) -> ray.data.Dataset:
+    """href extraction as stateless map tasks (the stage holds no real state
+    — a module-level compiled regex for the non-utf8 fallback only), fused
+    with the read. ``batch_size=None`` processes whole input blocks, whose
+    BYTE size the read already bounds (``target_max_block_size``) — the
+    scale-safe batch policy for fat html pages; an actor pool here only
+    added per-actor startup latency."""
     return corpus.select_columns(["url", "html"]).map_batches(
-        ExtractLinks, batch_format="pyarrow", batch_size=2048, concurrency=concurrency
+        _extract_links_fn, batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency,
     )
 
 
@@ -147,20 +159,16 @@ class _DedupKey:
         return pa.table({self.col: pc.unique(t[self.col])})
 
 
-class _AssignBucket:
-    def __init__(self, splitters_ref, col):
-        self.splitters_ref = splitters_ref
-        self.col = col
-        self._sp = None
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        if self._sp is None:
-            # fixed-width unicode dtype → C-speed comparisons (object dtype
-            # would fall back to per-element Python compares)
-            self._sp = np.asarray(ray.get(self.splitters_ref), dtype="U")
-        vals = t[self.col].to_numpy(zero_copy_only=False).astype("U")
-        b = np.searchsorted(self._sp, vals, side="right").astype(np.int32)
-        return t.append_column("bucket", pa.array(b))
+@ray.remote
+def _sample_block(t: pa.Table, rate: int):
+    """Deterministic splitter sample of one dictionary block (stable hash
+    % rate == 0); returns a fixed-width unicode array for C-speed driver
+    concat/unique."""
+    if t.num_rows == 0 or "url" not in t.column_names:
+        return np.empty(0, dtype="U1")
+    vals = t["url"].to_numpy(zero_copy_only=False)
+    keep = (_stable_hash_strings(vals) % np.uint64(rate)) == 0
+    return vals[keep].astype("U")
 
 
 @ray.remote
@@ -212,20 +220,13 @@ def _rank_bucket_task(bucket: int, *frags: pa.Table):
     )
 
 
-class _AddOffset:
-    def __init__(self, offsets_ref):
-        self.offsets_ref = offsets_ref
-        self._off = None
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        if self._off is None:
-            self._off = ray.get(self.offsets_ref)
-        b = t["bucket"].to_numpy(zero_copy_only=False)
-        lr = t["local_rank"].to_numpy(zero_copy_only=False)
-        vid = self._off[b] + lr
-        return pa.table(
-            {"url": t["url"], "vid": pa.array(vid.astype(np.int64), pa.int64())}
-        )
+@ray.remote
+def _finish_bucket(t: pa.Table, offset: int) -> pa.Table:
+    """Stamp global vids onto one ranked bucket: vid = offset + local_rank."""
+    lr = t["local_rank"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"url": t["url"], "vid": pa.array(lr + np.int64(offset), pa.int64())}
+    )
 
 
 def build_vertex_dictionary(
@@ -244,30 +245,31 @@ def build_vertex_dictionary(
     Deterministic: the splitter sample is a pure function of the url set.
     Reference parity: the `_key_to_id` dict (classes/graph.py:378-381),
     deterministic sorted-url enumeration per FIXTURES.md §2."""
-    from .._util import named
-
-    # materialize: consumed by both the sample job and the rank job — without
-    # this the whole upstream lineage (extraction union) re-executes twice
+    # materialize: consumed by both the sample tasks and the rank shuffle —
+    # without this the whole upstream lineage (extraction union) re-executes
+    # twice
     u = urls.map_batches(_DedupKey("url"), batch_format="pyarrow").materialize()
+    blocks = u.to_arrow_refs()
 
-    def _sample(t: pa.Table) -> pa.Table:
-        vals = t["url"].to_numpy(zero_copy_only=False)
-        keep = (_stable_hash_strings(vals) % np.uint64(sample_rate)) == 0
-        return pa.table({"url": pa.array(vals[keep], pa.string())})
-
-    sample = sorted(r["url"] for r in u.map_batches(_sample, batch_format="pyarrow").take_all())
-    nb = num_buckets_hint or max(1, min(64, len(sample) // 8 + 1))
-    if sample and nb > 1:
-        idx = np.linspace(0, len(sample) - 1, nb + 1).astype(int)[1:-1]
-        splitters = sorted(set(sample[i] for i in idx))
+    # splitter sample straight off the materialized blocks (one tiny task
+    # per block — no extra Dataset pass over the full url set)
+    sample_parts = ray.get([_sample_block.remote(b, sample_rate) for b in blocks])
+    sample = (
+        np.unique(np.concatenate(sample_parts))
+        if sample_parts
+        else np.empty(0, dtype="U1")
+    )
+    nb = num_buckets_hint or max(1, min(64, sample.size // 8 + 1))
+    if sample.size and nb > 1:
+        idx = np.linspace(0, sample.size - 1, nb + 1).astype(int)[1:-1]
+        splitters = np.unique(sample[idx])
     else:
-        splitters = []
+        splitters = np.empty(0, dtype="U1")
     sp_ref = ray.put(np.asarray(splitters, dtype="U"))
     B = len(splitters) + 1
 
     # manual range shuffle (no sort pass): split each block into per-bucket
     # fragments, one rank task per bucket sorts its range
-    blocks = u.to_arrow_refs()
     frag_refs = [
         _split_by_range.options(num_returns=B if B > 1 else 1).remote(b, sp_ref, B)
         for b in blocks
@@ -282,14 +284,13 @@ def build_vertex_dictionary(
         ranked_refs.append(r)
         count_refs.append(c)
     counts = ray.get(count_refs)
-    offsets = np.zeros(B, dtype=np.int64)
-    acc = 0
-    for b in range(B):
-        offsets[b] = acc
-        acc += counts[b]
-    off_ref = ray.put(offsets)
-    ranked = ray.data.from_arrow_refs(ranked_refs)
-    return ranked.map_batches(_AddOffset(off_ref), batch_format="pyarrow")
+    # driver prefix-sum over B scalars, then one tiny task per bucket stamps
+    # vid = offset + local_rank (no Dataset pass over the dictionary)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    final_refs = [
+        _finish_bucket.remote(ranked_refs[b], int(offsets[b])) for b in range(B)
+    ]
+    return ray.data.from_arrow_refs(final_refs)
 
 
 # ---------------------------------------------------------------------------
