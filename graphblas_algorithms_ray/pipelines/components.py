@@ -68,9 +68,14 @@ class _CCDenseProg:
     a full round is one cheap edge stream; the row path keeps the
     frontier optimization for the Dataset/checkpoint formulation."""
 
-    def __init__(self, csr_refs, n, P):
+    def __init__(self, csr_refs, n, P, hub=None):
         self.csr_refs = csr_refs
         self.n, self.P = n, P
+        # stages/hubsplit: hub rows leave the owner's CSR; their edges are
+        # min-applied in combine() from per-dst-part foreign arrays, with
+        # hub labels riding the round's scalar all-reduce (int64 < 2^53 —
+        # exact through the float64 channel).
+        self.hub = hub
         # keyed by part: a _DenseWorker owns range(aid, P, A) parts, so a
         # single cached layout would reuse the first part's edges for all.
         self._l = {}
@@ -82,6 +87,15 @@ class _CCDenseProg:
             dst = csr["dst"]
             nrows = csr["srcs"].size
             edge_row = np.repeat(np.arange(nrows, dtype=np.int64), csr["row_cnt"])
+            fe = None
+            if self.hub is not None:
+                from ..stages.hubsplit import hub_edge_keep
+
+                keep = hub_edge_keep(csr, self.hub["vids"])
+                if keep is not None:
+                    dst = dst[keep]
+                    edge_row = edge_row[keep]
+                fe = ray.get(self.hub["fe_refs"][part])
             dpart = (dst % P).astype(np.int64)
             dlocal = dst // P
             order = np.lexsort((dlocal, dpart))
@@ -103,6 +117,7 @@ class _CCDenseProg:
                 "seg_dlocal": seg_dlocal,
                 "part_bounds": pb,
                 "usizes": [universe_size(j, n, P) for j in range(P)],
+                "fe": fe,
             }
         return self._l[part]
 
@@ -117,8 +132,16 @@ class _CCDenseProg:
 
     def make_pieces(self, part, x, gscalars):
         l = self._layout(part)
+        sc = {}
+        if self.hub is not None:
+            from ..stages.hubsplit import HUB_STAT_BASE
+
+            gi, loc = self.hub["own"].get(part, (None, None))
+            if gi is not None:
+                for i, lo in zip(gi, loc):
+                    sc[HUB_STAT_BASE + int(i)] = float(x[lo])
         if l["starts"].size == 0:
-            return [None] * self.P, {}
+            return [None] * self.P, sc
         ev = x[l["srcs_local"]][l["edge_row_sorted"]]
         seg_min = np.minimum.reduceat(ev, l["starts"])
         pb = l["part_bounds"]
@@ -131,12 +154,26 @@ class _CCDenseProg:
                 pieces.append(slab)
             else:
                 pieces.append(None)
-        return pieces, {}
+        return pieces, sc
 
     def combine(self, part, pieces, gscalars, x_prev):
         new = x_prev
         for p in pieces:
             new = np.minimum(new, p)
+        l = self._layout(part)
+        if l["fe"] is not None:
+            from ..stages.hubsplit import hub_values
+
+            fe = l["fe"]
+            # default = the hub's own vid (its initial label); unreachable
+            # in practice — owners emit every round
+            hl = hub_values(
+                gscalars, None, self.hub["vids"].size,
+                self.hub["vids"].astype(np.float64),
+            ).astype(np.int64)
+            if new is x_prev:
+                new = x_prev.copy()
+            np.minimum.at(new, fe["dlocal"], hl[fe["fsrc"]])
         changed = int((new < x_prev).sum())
         return new, {STAT_CHANGED: float(changed)}
 
@@ -253,8 +290,9 @@ def connected_components(
         # dense min-label mesh — the large-graph throughput path (checked
         # before any row-state init; the mesh builds its own state)
         from ..stages.bsp_actors import DensePool, StatBelow
+        from ..stages.hubsplit import hub_split
 
-        pool = DensePool(P, _CCDenseProg(g.csr_refs, n, P))
+        pool = DensePool(P, _CCDenseProg(g.csr_refs, n, P, hub=hub_split(g)))
         it = 0
         while True:
             k = 8 if max_iter is None else max(1, min(8, max_iter - it))

@@ -145,9 +145,13 @@ class _LPADenseProg:
     (the deterministic synchronous rule above). ``merge_pieces`` overrides
     the mesh's additive slab merge — counts concatenate and re-unique."""
 
-    def __init__(self, csr_refs, n, P):
+    def __init__(self, csr_refs, n, P, hub=None):
         self.csr_refs = csr_refs
         self.n, self.P = n, P
+        # stages/hubsplit: hub rows leave the owner's CSR; their label
+        # votes are counted in combine() from per-dst-part foreign arrays,
+        # with hub labels riding the round's scalar all-reduce.
+        self.hub = hub
         self._l = {}  # keyed by part: workers own range(aid, P, A) parts
 
     def _layout(self, part):
@@ -157,6 +161,15 @@ class _LPADenseProg:
             dst = csr["dst"]
             nrows = csr["srcs"].size
             edge_row = np.repeat(np.arange(nrows, dtype=np.int64), csr["row_cnt"])
+            fe = None
+            if self.hub is not None:
+                from ..stages.hubsplit import hub_edge_keep
+
+                keep = hub_edge_keep(csr, self.hub["vids"])
+                if keep is not None:
+                    dst = dst[keep]
+                    edge_row = edge_row[keep]
+                fe = ray.get(self.hub["fe_refs"][part])
             dpart = (dst % P).astype(np.int64)
             order = np.argsort(dpart, kind="stable")
             self._l[part] = {
@@ -164,6 +177,7 @@ class _LPADenseProg:
                 "edge_row": edge_row[order],
                 "dlocal": (dst // P)[order],
                 "bounds": np.searchsorted(dpart[order], np.arange(P + 1)),
+                "fe": fe,
             }
         return self._l[part]
 
@@ -181,6 +195,14 @@ class _LPADenseProg:
 
     def make_pieces(self, part, x, gscalars):
         l = self._layout(part)
+        sc = {}
+        if self.hub is not None:
+            from ..stages.hubsplit import HUB_STAT_BASE
+
+            gi, loc = self.hub["own"].get(part, (None, None))
+            if gi is not None:
+                for i, lo in zip(gi, loc):
+                    sc[HUB_STAT_BASE + int(i)] = float(x[lo])
         lab = x[l["srcs_local"]][l["edge_row"]]
         b = l["bounds"]
         n = self.n
@@ -193,10 +215,22 @@ class _LPADenseProg:
                 pieces.append((uk, cnt.astype(np.int64)))
             else:
                 pieces.append(None)
-        return pieces, {}
+        return pieces, sc
 
     def combine(self, part, pieces, gscalars, x_prev):
         live = [p for p in pieces if p is not None]
+        l = self._layout(part)
+        if l["fe"] is not None:
+            from ..stages.hubsplit import hub_values
+
+            fe = l["fe"]
+            hl = hub_values(
+                gscalars, None, self.hub["vids"].size,
+                self.hub["vids"].astype(np.float64),
+            ).astype(np.int64)
+            key_f = fe["dlocal"] * self.n + hl[fe["fsrc"]]
+            uk_f, cnt_f = np.unique(key_f, return_counts=True)
+            live.append((uk_f, cnt_f.astype(np.int64)))
         new = x_prev.copy()  # vertices with no in-messages keep their label
         if live:
             k = np.concatenate([p[0] for p in live])

@@ -212,11 +212,18 @@ class _PRDenseProg:
     (``pagerank_alg.py:83-101``). The dangling-mass scalar rides with the
     deposits (an all-reduce through the mesh)."""
 
-    def __init__(self, csr_refs, aux_refs, n, P, alpha, p_ref, dw_ref, x0_ref, weighted):
+    def __init__(
+        self, csr_refs, aux_refs, n, P, alpha, p_ref, dw_ref, x0_ref, weighted,
+        hub=None,
+    ):
         self.csr_refs, self.aux_refs = csr_refs, aux_refs
         self.n, self.P, self.alpha = n, P, alpha
         self.p_ref, self.dw_ref, self.x0_ref = p_ref, dw_ref, x0_ref
         self.weighted = weighted
+        # stages/hubsplit split: hub rows leave the owner's CSR; their
+        # edges are applied in combine() from per-dst-part foreign arrays,
+        # with hub x values riding the round's scalar all-reduce.
+        self.hub = hub
         # per-part layouts, built once per actor PER OWNED PART — a
         # _DenseWorker owns every part in range(aid, P, A), so the cache
         # must be keyed by part (a single cached layout silently reuses
@@ -229,6 +236,24 @@ class _PRDenseProg:
             aux = ray.get(self.aux_refs[part])
             P, n = self.P, self.n
             dst = csr["dst"]
+            nrows = csr["srcs"].size
+            edge_row_full = np.repeat(np.arange(nrows, dtype=np.int64), csr["row_cnt"])
+            w_full = (
+                csr["weight"]
+                if self.weighted and csr.get("weight") is not None
+                else None
+            )
+            fe = None
+            if self.hub is not None:
+                from ..stages.hubsplit import hub_edge_keep
+
+                keep = hub_edge_keep(csr, self.hub["vids"])
+                if keep is not None:
+                    dst = dst[keep]
+                    edge_row_full = edge_row_full[keep]
+                    if w_full is not None:
+                        w_full = w_full[keep]
+                fe = ray.get(self.hub["fe_refs"][part])
             dpart = (dst % P).astype(np.int64)
             order = np.argsort(dpart, kind="stable")
             usize_k = universe_size(part, n, P)
@@ -247,21 +272,18 @@ class _PRDenseProg:
             # edge -> csr-row index, pre-permuted into dst-part order: per
             # step the seed gather is ONE fancy-index over the row array
             # (no np.repeat temporary)
-            nrows = csr["srcs"].size
-            edge_row = np.repeat(np.arange(nrows, dtype=np.int64), csr["row_cnt"])[order]
             self._l[part] = {
                 "srcs_local": csr["srcs"] // P,
                 "row_wsum": csr["row_wsum"],
-                "edge_row": edge_row,
+                "edge_row": edge_row_full[order],
                 "dlocal": (dst // P)[order],
                 "bounds": np.searchsorted(dpart[order], np.arange(P + 1)),
                 "usizes": [universe_size(j, n, P) for j in range(P)],
                 "dangling_mask": aux["out_wsum"] == 0,
-                "weight": csr["weight"][order]
-                if self.weighted and csr.get("weight") is not None
-                else None,
+                "weight": w_full[order] if w_full is not None else None,
                 "p_k": p_k,
                 "dw_k": dw_k,
+                "fe": fe,
             }
         return self._l[part]
 
@@ -290,7 +312,17 @@ class _PRDenseProg:
             else:
                 pieces.append(None)
         dm = float(x[l["dangling_mask"]].sum())
-        return pieces, {STAT_DANGLING: dm}
+        sc = {STAT_DANGLING: dm}
+        if self.hub is not None:
+            # owner emission: this round's hub x values ride the scalar
+            # all-reduce so every part's combine() sees them this superstep
+            from ..stages.hubsplit import HUB_STAT_BASE
+
+            gi, loc = self.hub["own"].get(part, (None, None))
+            if gi is not None:
+                for i, lo in zip(gi, loc):
+                    sc[HUB_STAT_BASE + int(i)] = float(x[lo])
+        return pieces, sc
 
     def combine(self, part, pieces, gscalars, x_prev):
         l = self._layout(part)
@@ -298,6 +330,18 @@ class _PRDenseProg:
         acc = np.zeros(usize, dtype=np.float64)
         for p in pieces:
             acc += p
+        if l["fe"] is not None:
+            # foreign hub edges destined to this part (stages/hubsplit):
+            # seed from the hub x values all-reduced with this round
+            from ..stages.hubsplit import hub_values
+
+            fe = l["fe"]
+            hx = hub_values(gscalars, None, self.hub["vids"].size, 1.0 / self.n)
+            seed = self.alpha * hx / self.hub["wsum"]
+            ev = seed[fe["fsrc"]]
+            if self.weighted and fe["weight"] is not None:
+                ev = ev * fe["weight"]
+            acc += np.bincount(fe["dlocal"], weights=ev, minlength=usize)
         dm = gscalars.get(STAT_DANGLING, 0.0)
         new = acc + self.alpha * dm * l["dw_k"] + (1.0 - self.alpha) * l["p_k"]
         delta = float(np.abs(new - x_prev).sum())
@@ -344,11 +388,13 @@ def pagerank(
     ):
         # dense-accumulator fused mesh — the large-graph throughput path
         from ..stages.bsp_actors import DensePool, StatBelow
+        from ..stages.hubsplit import hub_split
 
         pool = DensePool(
             P,
             _PRDenseProg(
-                G.csr_refs, G.aux_refs, n, P, alpha, p_ref, dw_ref, x0_ref, G.weighted
+                G.csr_refs, G.aux_refs, n, P, alpha, p_ref, dw_ref, x0_ref,
+                G.weighted, hub=hub_split(G),
             ),
         )
         it = 0
