@@ -134,7 +134,107 @@ def run_bench() -> dict:
     return out
 
 
+def run_skew() -> dict:
+    """Hub-skew microbenchmark: four 2M-out-degree hub rows all congruent
+    mod P (one part owns every hub — the worst-case edge-cut placement)
+    on top of a uniform background graph. Contrasts the dense mesh with
+    the hub split disabled (GRAFT_HUB_DEGREE=0, plain edge cut) vs the
+    default threshold (rows ≥ m/(4P) split across destination parts)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+    try:
+        os.sched_setaffinity(0, set(range(ncpu)))
+    except (AttributeError, OSError):
+        pass
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            logging_level="ERROR",
+            _system_config={"max_direct_call_object_size": 256 * 1024},
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from graphblas_algorithms_ray.pipelines.components import connected_components
+    from graphblas_algorithms_ray.pipelines.label_prop import label_propagation
+    from graphblas_algorithms_ray.pipelines.pagerank import pagerank
+    from graphblas_algorithms_ray.stages.hubsplit import hub_split, hub_threshold
+    from graphblas_algorithms_ray.state.graph import Graph
+
+    n = int(os.environ.get("GRAFT_SKEW_N", "1000000"))
+    m_base = int(os.environ.get("GRAFT_SKEW_EDGES", "12000000"))
+    hdeg = int(os.environ.get("GRAFT_SKEW_HUB_DEGREE", "2000000"))
+    P = int(os.environ.get("GRAFT_BENCH_PARTS", "32"))
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, n, size=m_base).astype(np.int64)
+    dst = rng.randint(0, n, size=m_base).astype(np.int64)
+    hubs = np.array([0, P, 2 * P, 3 * P], dtype=np.int64)
+    hsrc = np.repeat(hubs, hdeg)
+    hdst = rng.randint(0, n, size=hsrc.size).astype(np.int64)
+    edges = pa.table(
+        {"src": np.concatenate([src, hsrc]), "dst": np.concatenate([dst, hdst])}
+    )
+    gd = Graph(edges, n=n, directed=True, num_parts=P)
+    gu = Graph(edges, n=n, directed=False, num_parts=P)
+    gd._ensure_built()
+    gu._ensure_built()
+    split = hub_split(gd)
+    info = {
+        "n": n,
+        "edges_directed": gd.m,
+        "edges_sym": gu.m,
+        "hub_rows_split": 0 if split is None else int(split["vids"].size),
+        "hub_edges_split": 0 if split is None else int(split["cnt"].sum()),
+        "threshold": hub_threshold(gd.m, P),
+        "num_cpus": ncpu,
+        "num_parts": P,
+    }
+    # warm the actor mesh once so neither mode pays startup
+    pagerank(gd, tol=0.0, max_iter=2, raise_on_failure=False, executor="actors").count()
+
+    results: dict[str, dict[str, float]] = {}
+    for mode, env in (("edge_cut", "0"), ("hub_split", None)):
+        if env is None:
+            os.environ.pop("GRAFT_HUB_DEGREE", None)
+        else:
+            os.environ["GRAFT_HUB_DEGREE"] = env
+        t: dict[str, float] = {}
+        t0 = time.time()
+        pagerank(gd, tol=0.0, max_iter=20, raise_on_failure=False, executor="actors").count()
+        t["pagerank20"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        connected_components(gu, executor="actors").count()
+        t["connected_components"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        label_propagation(gu, max_iter=5, executor="actors").count()
+        t["label_propagation5"] = round(time.time() - t0, 3)
+        results[mode] = t
+    speedup = {
+        k: round(results["edge_cut"][k] / results["hub_split"][k], 2)
+        for k in results["edge_cut"]
+    }
+    return {
+        "metric": "hub_split_speedup",
+        **info,
+        "edge_cut_sec": results["edge_cut"],
+        "hub_split_sec": results["hub_split"],
+        "speedup": speedup,
+    }
+
+
 def main():
+    if "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
+        import ray
+
+        ray.shutdown()
+        return
     if "--scaling" in sys.argv:
         import subprocess
 
