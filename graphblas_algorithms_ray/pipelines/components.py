@@ -68,7 +68,7 @@ class _CCDenseProg:
     a full round is one cheap edge stream; the row path keeps the
     frontier optimization for the Dataset/checkpoint formulation."""
 
-    def __init__(self, csr_refs, n, P, hub=None):
+    def __init__(self, csr_refs, n, P, hub=None, resume_refs=None):
         self.csr_refs = csr_refs
         self.n, self.P = n, P
         # stages/hubsplit: hub rows leave the owner's CSR; their edges are
@@ -76,6 +76,8 @@ class _CCDenseProg:
         # hub labels riding the round's scalar all-reduce (int64 < 2^53 —
         # exact through the float64 channel).
         self.hub = hub
+        # {part: ObjectRef(label array)} from a dense checkpoint
+        self.resume_refs = resume_refs
         # keyed by part: a _DenseWorker owns range(aid, P, A) parts, so a
         # single cached layout would reuse the first part's edges for all.
         self._l = {}
@@ -122,6 +124,8 @@ class _CCDenseProg:
         return self._l[part]
 
     def init_state(self, part):
+        if self.resume_refs is not None:
+            return ray.get(self.resume_refs[part]).astype(np.int64, copy=False)
         return universe(part, self.n, self.P).astype(np.int64)
 
     @staticmethod
@@ -282,26 +286,65 @@ def connected_components(
     if n == 0:
         raise ValueError("null graph (PointlessConcept)")
 
-    no_ckpt = not checkpoint_dir and not checkpoint_every and not resume
-    if no_ckpt and (
-        executor == "actors_dense"
-        or (executor == "actors" and g.m >= _fused_min_edges_cc())
-    ):
+    dense_route = executor == "actors_dense" or (
+        executor == "actors" and g.m >= _fused_min_edges_cc()
+    )
+    if dense_route and resume and checkpoint_dir:
+        # row-format checkpoints resume on the Dataset path below
+        from ..stages.bsp_actors import latest_dense_checkpoint
+
+        if latest_dense_checkpoint(checkpoint_dir) is None and (
+            latest_checkpoint(checkpoint_dir) is not None
+        ):
+            dense_route = False
+    if dense_route:
         # dense min-label mesh — the large-graph throughput path (checked
-        # before any row-state init; the mesh builds its own state)
-        from ..stages.bsp_actors import DensePool, StatBelow
+        # before any row-state init; the mesh builds its own state).
+        # Checkpoints: per-iteration per-partition parquet written by the
+        # mesh workers (DensePool.checkpoint); resume feeds the saved
+        # labels into init_state via per-part refs.
+        from ..stages.bsp_actors import (
+            DensePool,
+            StatBelow,
+            dense_part_refs,
+            latest_dense_checkpoint,
+        )
         from ..stages.hubsplit import hub_split
 
-        pool = DensePool(P, _CCDenseProg(g.csr_refs, n, P, hub=hub_split(g)))
-        it = 0
+        start_it = 0
+        resume_refs = None
+        if resume and checkpoint_dir:
+            dck = latest_dense_checkpoint(checkpoint_dir)
+            if dck is not None:
+                ck_it, sdir, ck_stats = dck
+                if ck_stats.get(STAT_CHANGED, np.inf) == 0.0:
+                    return ray.data.read_parquet(sdir)  # already converged
+                start_it = ck_it + 1
+                resume_refs = dense_part_refs(sdir)
+        pool = DensePool(
+            P, _CCDenseProg(g.csr_refs, n, P, hub=hub_split(g), resume_refs=resume_refs)
+        )
+        lineage = {"algo": "connected_components", "graph": g.workdir, "n": n, "m": g.m}
+        it = start_it
         while True:
             k = 8 if max_iter is None else max(1, min(8, max_iter - it))
+            if checkpoint_every:
+                k = min(k, checkpoint_every)
             hist, done, stopped = pool.run_fused(
                 k, StatBelow(STAT_CHANGED, 0.5), start_step=it
             )
             it += done
             changed = hist.get(it - 1, {}).get(STAT_CHANGED, 0.0)
-            if stopped or changed == 0.0:
+            converged = stopped or changed == 0.0
+            periodic = checkpoint_every and done and (it - 1) % checkpoint_every < done
+            if checkpoint_dir and (periodic or converged):
+                pool.checkpoint(
+                    checkpoint_dir,
+                    it - 1,
+                    {STAT_CHANGED: changed if not stopped else 0.0},
+                    {**lineage, "converged": bool(converged)},
+                )
+            if converged:
                 break
             if max_iter is not None and it >= max_iter:
                 break

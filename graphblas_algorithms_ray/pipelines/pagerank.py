@@ -214,12 +214,15 @@ class _PRDenseProg:
 
     def __init__(
         self, csr_refs, aux_refs, n, P, alpha, p_ref, dw_ref, x0_ref, weighted,
-        hub=None,
+        hub=None, resume_refs=None,
     ):
         self.csr_refs, self.aux_refs = csr_refs, aux_refs
         self.n, self.P, self.alpha = n, P, alpha
         self.p_ref, self.dw_ref, self.x0_ref = p_ref, dw_ref, x0_ref
         self.weighted = weighted
+        # {part: ObjectRef(value array)} from a dense checkpoint — resume
+        # picks up the iterate exactly where the saved run stopped
+        self.resume_refs = resume_refs
         # stages/hubsplit split: hub rows leave the owner's CSR; their
         # edges are applied in combine() from per-dst-part foreign arrays,
         # with hub x values riding the round's scalar all-reduce.
@@ -289,6 +292,8 @@ class _PRDenseProg:
 
     def init_state(self, part):
         usize = universe_size(part, self.n, self.P)
+        if self.resume_refs is not None:
+            return ray.get(self.resume_refs[part]).astype(np.float64, copy=False)
         if self.x0_ref is not None:
             return sparse_part_slice(ray.get(self.x0_ref), part, self.P, usize)
         return np.full(usize, 1.0 / self.n)
@@ -381,32 +386,76 @@ def pagerank(
     x0_ref = sparse_vec_ref(nstart)
     from ..stages.bsp_actors import fused_min_edges as _fused_min_edges
 
-    no_ckpt = not checkpoint_dir and not checkpoint_every and not resume
-    if no_ckpt and (
-        executor == "actors_dense"
-        or (executor == "actors" and G.m >= _fused_min_edges())
-    ):
-        # dense-accumulator fused mesh — the large-graph throughput path
-        from ..stages.bsp_actors import DensePool, StatBelow
+    dense_route = executor == "actors_dense" or (
+        executor == "actors" and G.m >= _fused_min_edges()
+    )
+    if dense_route and resume and checkpoint_dir:
+        # a row-format checkpoint (written by the Dataset path) resumes on
+        # the Dataset path below; dense resumes stay on the mesh
+        from ..stages.bsp_actors import latest_dense_checkpoint
+
+        if latest_dense_checkpoint(checkpoint_dir) is None and (
+            latest_checkpoint(checkpoint_dir) is not None
+        ):
+            dense_route = False
+    if dense_route:
+        # dense-accumulator fused mesh — the large-graph throughput path.
+        # Checkpoints are per-iteration per-partition parquet written by
+        # the mesh workers themselves (DensePool.checkpoint); resume feeds
+        # the saved iterate straight into init_state via per-part refs.
+        from ..stages.bsp_actors import (
+            DensePool,
+            StatBelow,
+            dense_part_refs,
+            latest_dense_checkpoint,
+        )
         from ..stages.hubsplit import hub_split
 
+        start_it = 0
+        resume_refs = None
+        if resume and checkpoint_dir:
+            dck = latest_dense_checkpoint(checkpoint_dir)
+            if dck is not None:
+                ck_it, sdir, ck_stats = dck
+                if ck_stats.get(STAT_DELTA, np.inf) < n * tol:
+                    return ray.data.read_parquet(sdir)  # already converged
+                start_it = ck_it + 1
+                resume_refs = dense_part_refs(sdir)
         pool = DensePool(
             P,
             _PRDenseProg(
                 G.csr_refs, G.aux_refs, n, P, alpha, p_ref, dw_ref, x0_ref,
-                G.weighted, hub=hub_split(G),
+                G.weighted, hub=hub_split(G), resume_refs=resume_refs,
             ),
         )
-        it = 0
+        lineage = {
+            "algo": "pagerank",
+            "graph": G.workdir,
+            "n": n,
+            "m": G.m,
+            "params": {"alpha": alpha, "tol": tol, "max_iter": max_iter},
+        }
+        it = start_it
         while it < max_iter:
             k = min(16, max_iter - it)
+            if checkpoint_every:
+                k = min(k, checkpoint_every)
             hist, done, stopped = pool.run_fused(
                 k, StatBelow(STAT_DELTA, n * tol), start_step=it
             )
             it += done
             delta = hist.get(it - 1, {}).get(STAT_DELTA, np.inf)
             LAST_RUN_INFO.update(iterations=it, delta=delta)
-            if stopped or delta < n * tol:
+            converged = stopped or delta < n * tol
+            periodic = checkpoint_every and done and (it - 1) % checkpoint_every < done
+            if checkpoint_dir and (periodic or converged):
+                pool.checkpoint(
+                    checkpoint_dir,
+                    it - 1,
+                    {STAT_DELTA: delta},
+                    {**lineage, "converged": bool(converged)},
+                )
+            if converged:
                 return pool.extract()
         if raise_on_failure:
             raise ConvergenceFailure(

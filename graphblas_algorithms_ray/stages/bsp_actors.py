@@ -15,15 +15,21 @@ object-store exchange:
 
 Semantics are identical by construction (same stage code, same rows, same
 per-part grouping); tests assert exact equality against the Dataset path.
-The Dataset path remains the default — it is the resumable/checkpointed
-formulation — and this executor is the measured fast path for the
-convergence loop (north-rule throughput/scaling criterion).
+The Dataset path remains the default; this executor is the measured fast
+path for the convergence loop (north-rule throughput/scaling criterion).
+The dense mesh checkpoints too: ``DensePool.checkpoint`` has each worker
+write its owned parts as per-iteration parquet (``format: "dense"``
+manifests alongside the row-format ones), and resume feeds the saved
+iterate back through ``init_state`` via ``dense_part_refs``.
 
 State lives in the actors; `gather_state()` hands back a Dataset (one
 block per part, zero-copy from plasma) for extraction or checkpointing.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -524,6 +530,23 @@ class _DenseWorker:
             return pa.table({})
         return pa.concat_tables(live)
 
+    def save_parts(self, d: str) -> bool:
+        """Checkpoint: one parquet file per owned part (v + value column in
+        universe order — ``prog.extract``'s layout), tmp + atomic rename."""
+        import pyarrow.parquet as pq
+
+        if not self.x:
+            self.x = {p: self.prog.init_state(p) for p in self.parts}
+        for p in self.parts:
+            x = self.x.get(p)
+            if x is None:
+                continue
+            t = self.prog.extract(p, x)
+            tmp = os.path.join(d, f".part_{p:05d}.tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, os.path.join(d, f"part_{p:05d}.parquet"))
+        return True
+
 
 class DensePool:
     """Driver for the dense fused mesh. A = num_actors defaults to the Ray
@@ -579,6 +602,40 @@ class DensePool:
         refs = [w.extract.remote() for w in self.workers]
         return ray.data.from_arrow_refs(refs)
 
+    def checkpoint(self, ckpt_dir: str, it: int, stats: dict, extra: dict | None = None):
+        """Per-iteration per-partition checkpoint from the dense mesh: the
+        workers write their own parts (no driver hop), the manifest lands
+        last (its presence marks the iteration complete). Same directory /
+        manifest naming as ``fixpoint.checkpoint_state`` with
+        ``format: "dense"`` marking the per-part (v, value) layout."""
+        import shutil
+        import time as _time
+
+        os.makedirs(ckpt_dir, exist_ok=True)
+        if os.path.exists(os.path.join(ckpt_dir, f"manifest_{it:05d}.json")):
+            return  # idempotent re-run
+        sdir = os.path.join(ckpt_dir, f"iter_{it:05d}")
+        tmpdir = sdir + ".writing"
+        if os.path.exists(tmpdir):
+            shutil.rmtree(tmpdir)
+        os.makedirs(tmpdir)
+        ray.get([w.save_parts.remote(tmpdir) for w in self.workers])
+        if os.path.exists(sdir):
+            shutil.rmtree(sdir)
+        os.replace(tmpdir, sdir)
+        manifest = {
+            "iter": it,
+            "format": "dense",
+            "stats": {str(k): v for k, v in stats.items()},
+            "parts": sorted(os.listdir(sdir)),
+            "written_at": _time.time(),
+            **(extra or {}),
+        }
+        tmp = os.path.join(ckpt_dir, f".manifest_{it:05d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(ckpt_dir, f"manifest_{it:05d}.json"))
+
     @classmethod
     def shutdown_all(cls):
         for ws in cls._meshes.values():
@@ -586,3 +643,44 @@ class DensePool:
                 ray.kill(w)
         cls._meshes.clear()
         cls._bases.clear()
+
+
+@ray.remote
+def _read_part_state(path: str) -> np.ndarray:
+    """Load one part's checkpointed value column (column 1; column 0 is v)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).column(1).to_numpy(zero_copy_only=False)
+
+
+def latest_dense_checkpoint(ckpt_dir: str):
+    """Newest complete DENSE-format checkpoint in ``ckpt_dir``:
+    (iter, state_dir, stats) — or None if the newest manifest is missing
+    or row-format (the caller then falls back to the Dataset-path resume)."""
+    if not ckpt_dir or not os.path.isdir(ckpt_dir):
+        return None
+    its = sorted(
+        int(f[len("manifest_") : -len(".json")])
+        for f in os.listdir(ckpt_dir)
+        if f.startswith("manifest_") and f.endswith(".json")
+    )
+    if not its:
+        return None
+    it = its[-1]
+    with open(os.path.join(ckpt_dir, f"manifest_{it:05d}.json")) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != "dense":
+        return None
+    stats = {int(k): float(v) for k, v in manifest["stats"].items()}
+    return it, os.path.join(ckpt_dir, f"iter_{it:05d}"), stats
+
+
+def dense_part_refs(state_dir: str) -> dict[int, "ray.ObjectRef"]:
+    """Per-part value-array refs from a dense checkpoint directory — each
+    mesh worker resolves exactly its owned parts (no read amplification)."""
+    refs = {}
+    for f in sorted(os.listdir(state_dir)):
+        if f.startswith("part_") and f.endswith(".parquet"):
+            k = int(f[len("part_") : -len(".parquet")])
+            refs[k] = _read_part_state.remote(os.path.join(state_dir, f))
+    return refs

@@ -159,9 +159,18 @@ def latest_checkpoint(ckpt_dir: str):
     )
     if not its:
         return None
-    it = its[-1]
-    with open(os.path.join(ckpt_dir, f"manifest_{it:05d}.json")) as f:
-        manifest = json.load(f)
+    # newest ROW-format checkpoint: dense-mesh checkpoints (format=dense,
+    # per-part (v, value) parquet — bsp_actors.latest_dense_checkpoint)
+    # share the directory but not the row STATE_SCHEMA
+    manifest = None
+    for it in reversed(its):
+        with open(os.path.join(ckpt_dir, f"manifest_{it:05d}.json")) as f:
+            m = json.load(f)
+        if m.get("format") != "dense":
+            manifest = m
+            break
+    if manifest is None:
+        return None
     state = ray.data.read_parquet(os.path.join(ckpt_dir, f"iter_{it:05d}"))
     # normalize column order/types to STATE_SCHEMA; drop stale kind-3 stats
     state = state.map_batches(
