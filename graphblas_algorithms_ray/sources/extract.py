@@ -163,23 +163,36 @@ class _DedupKey:
 def _sample_block(t: pa.Table, rate: int):
     """Deterministic splitter sample of one dictionary block (stable hash
     % rate == 0); returns a fixed-width unicode array for C-speed driver
-    concat/unique."""
+    concat/unique. (Splitters steer bucket boundaries only — the final vid
+    is the global sorted rank whatever the sample.)"""
     if t.num_rows == 0 or "url" not in t.column_names:
         return np.empty(0, dtype="U1")
+    import polars as pl
+
+    keep = (
+        (pl.from_arrow(t["url"]).hash(seed=42) % np.uint64(rate)) == 0
+    ).to_numpy()
     vals = t["url"].to_numpy(zero_copy_only=False)
-    keep = (_stable_hash_strings(vals) % np.uint64(rate)) == 0
     return vals[keep].astype("U")
 
 
 @ray.remote
 def _split_by_range(t: pa.Table, sp, num_buckets: int):
     """Map side of the manual RANGE shuffle for the dictionary rank.
-    (`sp` arrives resolved — Ray substitutes ObjectRef args.)"""
+    (`sp` arrives resolved — Ray substitutes ObjectRef args.) Bucket
+    assignment is a polars binary search straight over the Arrow strings —
+    no per-row fixed-width unicode widening."""
     if t.num_rows == 0 or "url" not in t.column_names:
         empty = pa.table({"url": pa.array([], pa.string())})
         return [empty] * num_buckets if num_buckets > 1 else empty
-    vals = t["url"].to_numpy(zero_copy_only=False).astype("U")
-    b = np.searchsorted(np.asarray(sp, dtype="U"), vals, side="right")
+    import polars as pl
+
+    sp_s = pl.Series("sp", [str(x) for x in np.asarray(sp)])
+    b = (
+        sp_s.search_sorted(pl.from_arrow(t["url"]), side="right")
+        .to_numpy()
+        .astype(np.int64)
+    )
     order = np.argsort(b, kind="stable")
     sorted_t = t.take(pa.array(order))
     bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
@@ -192,7 +205,9 @@ def _split_by_range(t: pa.Table, sp, num_buckets: int):
 
 @ray.remote(num_returns=2)
 def _rank_bucket_task(bucket: int, *frags: pa.Table):
-    """Reduce side: sorted distinct urls of this range + local ranks."""
+    """Reduce side: sorted distinct urls of this range + local ranks.
+    polars unique+sort over the Arrow strings (byte order == numpy "U"
+    code-point order for the ASCII url alphabet, == DuckDB ORDER BY)."""
     live = [f for f in frags if f is not None and f.num_rows]
     if not live:
         return (
@@ -205,18 +220,25 @@ def _rank_bucket_task(bucket: int, *frags: pa.Table):
             ),
             0,
         )
-    urls = np.unique(
-        pa.concat_tables(live)["url"].to_numpy(zero_copy_only=False).astype("U")
+    import polars as pl
+
+    urls = (
+        pl.from_arrow(pa.concat_tables(live)["url"])
+        .unique()
+        .sort()
+        .to_arrow()
+        .cast(pa.string())
     )
+    size = len(urls)
     return (
         pa.table(
             {
-                "url": pa.array(urls, pa.string()),
-                "bucket": pa.array(np.full(urls.size, bucket, np.int32)),
-                "local_rank": pa.array(np.arange(urls.size, dtype=np.int64)),
+                "url": urls,
+                "bucket": pa.array(np.full(size, bucket, np.int32)),
+                "local_rank": pa.array(np.arange(size, dtype=np.int64)),
             }
         ),
-        int(urls.size),
+        size,
     )
 
 
@@ -247,8 +269,13 @@ def build_vertex_dictionary(
     deterministic sorted-url enumeration per FIXTURES.md §2."""
     # materialize: consumed by both the sample tasks and the rank shuffle —
     # without this the whole upstream lineage (extraction union) re-executes
-    # twice
-    u = urls.map_batches(_DedupKey("url"), batch_format="pyarrow").materialize()
+    # twice. The combiner's dedup power is its batch size: input blocks are
+    # tiny (~30k link rows), so let Ray Data coalesce ~2M-row batches
+    # across blocks — each batch then covers the hot part of the url space
+    # and the range shuffle moves ~distinct urls, not ~all link endpoints.
+    u = urls.map_batches(
+        _DedupKey("url"), batch_format="pyarrow", batch_size=2_000_000
+    ).materialize()
     blocks = u.to_arrow_refs()
 
     # splitter sample straight off the materialized blocks (one tiny task
@@ -299,24 +326,30 @@ def build_vertex_dictionary(
 
 
 class _BroadcastLookup:
-    def __init__(self, urls_ref, vids_ref, cols):
-        self.urls_ref, self.vids_ref, self.cols = urls_ref, vids_ref, cols
+    def __init__(self, dict_ref, cols):
+        self.dict_ref, self.cols = dict_ref, cols
         self._u = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import polars as pl
+
         if self._u is None:
-            # already U-dtype in the object store → zero-copy, no per-task
-            # string conversion
-            self._u = ray.get(self.urls_ref)
-            self._v = ray.get(self.vids_ref)
+            # the broadcast is a url-sorted Arrow table in plasma: polars
+            # wraps it zero-copy once per worker; lookups are then binary
+            # searches straight over the Arrow strings (no per-batch
+            # fixed-width unicode widening)
+            tbl = ray.get(self.dict_ref)
+            self._u = pl.from_arrow(tbl["url"])
+            self._v = tbl["vid"].to_numpy(zero_copy_only=False)
         out = {}
         for col, alias in self.cols:
-            vals = t[col].to_numpy(zero_copy_only=False).astype("U")
-            pos = np.searchsorted(self._u, vals)
-            pos = np.minimum(pos, len(self._u) - 1)
-            ok = self._u[pos] == vals
-            out[alias] = self._v[pos]
-            out[alias][~ok] = -1
+            vals = pl.from_arrow(t[col])
+            pos = self._u.search_sorted(vals, side="left").to_numpy().astype(np.int64)
+            np.minimum(pos, len(self._u) - 1, out=pos)
+            ok = (self._u.gather(pos) == vals).to_numpy()
+            vid = self._v[pos]
+            vid[~ok] = -1
+            out[alias] = vid
         mask = np.ones(t.num_rows, dtype=bool)
         for _, alias in self.cols:
             mask &= out[alias] >= 0
@@ -336,15 +369,15 @@ def map_edges_to_ids(
     n_dict = dictionary.count()
     if n_dict <= broadcast_limit:
         tabs = [t for t in ray.get(dictionary.to_arrow_refs()) if t.num_rows]
-        tbl = pa.concat_tables(tabs)
-        # one conversion to fixed-width unicode on the driver; the broadcast
-        # array is then a plain buffer (zero-copy in every task)
-        urls = tbl["url"].to_numpy(zero_copy_only=False).astype("U")
-        order = np.argsort(urls)
-        urls_ref = ray.put(np.ascontiguousarray(urls[order]))
-        vids_ref = ray.put(tbl["vid"].to_numpy(zero_copy_only=False)[order])
+        tbl = pa.concat_tables(tabs).combine_chunks()
+        # broadcast the url-sorted Arrow table itself; workers wrap it
+        # zero-copy in polars and binary-search per batch
+        import pyarrow.compute as pc
+
+        tbl = tbl.take(pc.sort_indices(tbl, [("url", "ascending")]))
+        dict_ref = ray.put(tbl)
         return links.map_batches(
-            _BroadcastLookup(urls_ref, vids_ref, [("src_url", "src"), ("dst_url", "dst")]),
+            _BroadcastLookup(dict_ref, [("src_url", "src"), ("dst_url", "dst")]),
             batch_format="pyarrow",
         )
     from ..stages.hashjoin import lookup_join
