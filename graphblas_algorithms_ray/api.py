@@ -243,6 +243,24 @@ def q_lang_distribution(sf_dir):
     return lang_distribution(_docs(sf_dir))
 
 
+def q_word_topk(sf_dir):
+    from .pipelines.text import word_topk
+
+    return word_topk(_docs(sf_dir), k=20)
+
+
+def q_top_docs_per_lang(sf_dir):
+    from .pipelines.text import top_docs_per_lang
+
+    return top_docs_per_lang(_docs(sf_dir), k=3)
+
+
+def q_median_chars_by_lang(sf_dir):
+    from .pipelines.text import median_chars_by_lang
+
+    return median_chars_by_lang(_docs(sf_dir))
+
+
 def q_events_hourly(sf_dir):
     import ray.data
     from .pipelines.events import hourly_windows
@@ -557,6 +575,9 @@ QUERIES = {
     "doc_token_stats": q_token_stats,
     "doc_quality": q_quality,
     "lang_distribution": q_lang_distribution,
+    "word_topk": q_word_topk,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "median_chars_by_lang": q_median_chars_by_lang,
     "events_hourly": q_events_hourly,
     "events_sessions": q_sessions,
     "ann_topk": q_ann_topk,
@@ -828,6 +849,16 @@ SELECT doc_id, n_tokens,
   CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END AS upper_ratio
 FROM s ORDER BY doc_id""",
     "lang_distribution": "SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang ORDER BY lang",
+    "word_topk": """SELECT word, COUNT(*)::BIGINT AS n FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents)
+GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""",
+    "top_docs_per_lang": """SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS r
+  FROM documents) WHERE r <= 3 ORDER BY lang, doc_id""",
+    "median_chars_by_lang": """SELECT lang, median(n_chars)::DOUBLE AS median_chars
+FROM documents GROUP BY lang ORDER BY lang""",
     "events_hourly": """SELECT event_type, date_trunc('hour', ts) AS hour,
   COUNT(*)::BIGINT AS n, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -226,3 +226,126 @@ def language_id(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         _LangId, batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+class _WordCountPartial:
+    """Per-batch combiner: (word -> count) via Arrow regex split + C++
+    value_counts — output is vocab-sized, not token-sized."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.list_flatten(pc.split_pattern_regex(col, r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        return pa.table({"word": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())})
+
+
+def word_topk(docs: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
+    """(word, n): the k most frequent tokens corpus-wide (vocab heavy
+    hitters — the first step of tokenizer/vocab building).
+
+    Scale shape: each batch collapses to its own vocab before the one
+    groupby shuffle, so shuffle volume is O(batches * vocab), never
+    O(tokens); the final sort runs on the global vocab table only.
+    Ties break by word ascending (deterministic vs the SQL oracle)."""
+    partial = docs.select_columns(["text"]).map_batches(
+        _WordCountPartial(), batch_format="pyarrow"
+    )
+    totals = partial.groupby("word").sum("n", ignore_nulls=True)
+    totals = totals.map_batches(
+        lambda t: pa.table({"word": t["word"], "n": t["sum(n)"]}),
+        batch_format="pyarrow",
+    )
+    return totals.sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+class _TopDocsPartial:
+    """Per-batch combiner: keep only the per-lang top-k candidates."""
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        df = t.select(["lang", "doc_id", "n_chars"]).to_pandas()
+        df = df.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        return pa.Table.from_pandas(
+            df.groupby("lang", sort=False).head(self.k), preserve_index=False
+        )
+
+
+def top_docs_per_lang(docs: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
+    """(lang, doc_id, n_chars): the k longest documents per language,
+    ties broken by doc_id ascending.
+
+    Top-k-per-group without a global sort: each batch pre-prunes to its
+    own per-lang top-k (shuffle volume O(batches * langs * k)), then one
+    small per-lang group finalizes."""
+    from .._util import named
+
+    partial = docs.select_columns(["lang", "doc_id", "n_chars"]).map_batches(
+        _TopDocsPartial(k), batch_format="pyarrow"
+    )
+    return partial.groupby("lang").map_groups(
+        named(_TopDocsPartial(k)), batch_format="pyarrow"
+    )
+
+
+class _LenHistPartial:
+    """Per-batch combiner: (lang, n_chars) -> count histogram rows."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        df = t.select(["lang", "n_chars"]).to_pandas()
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+class _HistMedian:
+    """Exact median from a (value, count) histogram — DuckDB median
+    semantics (mean of the two middle values for even totals)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vals = t["n_chars"].to_numpy(zero_copy_only=False)
+        cnts = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        total = int(cum[-1])
+        lo_i = int(np.searchsorted(cum, (total - 1) // 2, side="right"))
+        hi_i = int(np.searchsorted(cum, total // 2, side="right"))
+        med = (float(vals[lo_i]) + float(vals[hi_i])) / 2.0
+        lang = t["lang"][0].as_py()
+        return pa.table(
+            {
+                "lang": pa.array([lang], pa.string()),
+                "median_chars": pa.array([med], pa.float64()),
+            }
+        )
+
+
+def median_chars_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(lang, median_chars): exact per-language median document length.
+
+    Exact quantile at scale without sorting the corpus: lengths collapse
+    to a (lang, value) -> count histogram (bounded by the value domain,
+    not the row count); the median is read off the tiny histogram."""
+    from .._util import named
+
+    partial = docs.select_columns(["lang", "n_chars"]).map_batches(
+        _LenHistPartial(), batch_format="pyarrow"
+    )
+    hist = partial.groupby(["lang", "n_chars"]).sum("n", ignore_nulls=True)
+    hist = hist.map_batches(
+        lambda t: pa.table(
+            {"lang": t["lang"], "n_chars": t["n_chars"], "n": t["sum(n)"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return hist.groupby("lang").map_groups(
+        named(_HistMedian()), batch_format="pyarrow"
+    )

@@ -1,0 +1,85 @@
+"""word_topk / top_docs_per_lang / median_chars_by_lang vs brute-force
+pandas oracles on a small corpus with deliberate ties and even/odd groups."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from graphblas_algorithms_ray.pipelines.text import (
+    median_chars_by_lang,
+    top_docs_per_lang,
+    word_topk,
+)
+
+
+def _corpus():
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    rows = []
+    for i in range(60):
+        lang = ["en", "de", "fr"][i % 3]
+        n_words = int(rng.integers(3, 25))
+        words = [vocab[int(w)] for w in rng.integers(0, len(vocab), n_words)]
+        text = " ".join(words)
+        rows.append(
+            {"doc_id": i, "lang": lang, "text": text, "n_chars": len(text)}
+        )
+    # ties: two docs with identical n_chars in the same lang
+    rows.append({"doc_id": 100, "lang": "en", "text": "x" * 500, "n_chars": 500})
+    rows.append({"doc_id": 101, "lang": "en", "text": "y" * 500, "n_chars": 500})
+    return rows
+
+
+def test_word_topk_matches_pandas():
+    rows = _corpus()
+    ds = ray.data.from_items(rows)
+    got = word_topk(ds, k=5).to_pandas()
+    toks = pd.Series(
+        [w for r in rows for w in r["text"].split() if w]
+    ).value_counts()
+    expect = (
+        toks.rename_axis("word")
+        .reset_index(name="n")
+        .sort_values(["n", "word"], ascending=[False, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+    gsort = got.sort_values(["n", "word"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    assert list(gsort["word"]) == list(expect["word"])
+    assert list(gsort["n"]) == list(expect["n"])
+
+
+def test_top_docs_per_lang_deterministic_ties():
+    rows = _corpus()
+    ds = ray.data.from_items(rows)
+    got = top_docs_per_lang(ds, k=3).to_pandas()
+    df = pd.DataFrame(rows)[["lang", "doc_id", "n_chars"]]
+    expect = (
+        df.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+        .groupby("lang", sort=True)
+        .head(3)
+    )
+    g = set(map(tuple, got[["lang", "doc_id", "n_chars"]].itertuples(index=False)))
+    e = set(map(tuple, expect.itertuples(index=False)))
+    assert g == e
+    # the en ties at 500 chars: doc 100 beats 101 on doc_id
+    assert ("en", 100, 500) in g and ("en", 101, 500) in g
+
+
+def test_median_matches_interpolated():
+    rows = _corpus()
+    ds = ray.data.from_items(rows)
+    got = {
+        r["lang"]: r["median_chars"] for r in median_chars_by_lang(ds).take_all()
+    }
+    df = pd.DataFrame(rows)
+    for lang, grp in df.groupby("lang"):
+        v = np.sort(grp["n_chars"].to_numpy())
+        n = v.size
+        expect = (float(v[(n - 1) // 2]) + float(v[n // 2])) / 2.0
+        assert got[lang] == expect, lang
+    # and it agrees with numpy's interpolated median (same definition)
+    for lang, grp in df.groupby("lang"):
+        assert got[lang] == float(np.median(grp["n_chars"]))
