@@ -275,6 +275,20 @@ def q_sessions(sf_dir):
     return sessionize(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_sliding_windows(sf_dir):
+    import ray.data
+    from .pipelines.events import sliding_windows
+
+    return sliding_windows(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_purchase_attribution(sf_dir):
+    import ray.data
+    from .pipelines.events import purchase_attribution
+
+    return purchase_attribution(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_ann_topk(sf_dir):
     import ray.data
     from .pipelines.ann import ann_topk
@@ -580,6 +594,8 @@ QUERIES = {
     "median_chars_by_lang": q_median_chars_by_lang,
     "events_hourly": q_events_hourly,
     "events_sessions": q_sessions,
+    "events_sliding": q_sliding_windows,
+    "purchase_attribution": q_purchase_attribution,
     "ann_topk": q_ann_topk,
     "embedding_centroids": q_centroids,
     "embedding_neardup": q_embedding_neardup,
@@ -874,6 +890,21 @@ s AS (SELECT user_id, ts,
 SELECT user_id, session_id::BIGINT AS session_id, COUNT(*)::BIGINT AS n_events,
        MIN(ts) AS start_ts, MAX(ts) AS end_ts
 FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "events_sliding": """SELECT event_type, make_timestamp(ws_us) AS window_start,
+  COUNT(*)::BIGINT AS n, ROUND(SUM(value), 6) AS sum_value
+FROM (SELECT event_type, value,
+        ((epoch_us(ts)::BIGINT // 900000000) - o.o) * 900000000 AS ws_us
+      FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) o(o))
+GROUP BY 1, 2 ORDER BY 1, 2""",
+    "purchase_attribution": """WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, MAX(event_id) AS click_event_id, ts AS click_ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.user_id, p.event_id, p.ts, c.click_event_id, c.click_ts,
+       date_diff('microsecond', c.click_ts, p.ts)::BIGINT AS lag_us
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.user_id, p.event_id""",
     "square_clustering": f"""WITH {_G},
 nbr AS MATERIALIZED (SELECT a, b FROM sym WHERE a <> b),
 wedges AS MATERIALIZED (

@@ -86,3 +86,117 @@ def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Data
         .groupby("user_id")
         .map_groups(named(_Sessions()), batch_format="pandas")
     )
+
+
+def sliding_windows(
+    events: ray.data.Dataset,
+    window_minutes: int = 60,
+    slide_minutes: int = 15,
+) -> ray.data.Dataset:
+    """(event_type, window_start, n, sum_value): sliding event-time windows
+    — every event lands in window_minutes/slide_minutes overlapping
+    buckets, expanded vectorized per batch and pre-aggregated before the
+    one groupby shuffle (shuffle volume = W/S x the tumbling volume)."""
+    if window_minutes % slide_minutes:
+        raise ValueError("window must be a multiple of slide")
+    k = window_minutes // slide_minutes
+    slide_us = slide_minutes * 60 * 1_000_000
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ep = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = ep // slide_us
+        parts = []
+        for o in range(k):
+            ws = (b0 - o) * slide_us
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "window_start": pa.array(ws),
+                        "value": t["value"],
+                    }
+                )
+            )
+        tt = pa.concat_tables(parts)
+        g = tt.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "window_start": g["window_start"],
+                "n": pc.cast(g["value_count"], pa.int64()),
+                "sum_value": g["value_sum"],
+            }
+        )
+
+    partial = events.select_columns(["event_type", "ts", "value"]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    out = partial.groupby(["event_type", "window_start"]).aggregate(
+        ray.data.aggregate.Sum("n", alias_name="n"),
+        ray.data.aggregate.Sum("sum_value", alias_name="sum_value"),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        sv = np.round(t["sum_value"].to_numpy(zero_copy_only=False), 6)
+        ws = pc.cast(t["window_start"], pa.timestamp("us"))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": ws,
+                "n": t["n"],
+                "sum_value": pa.array(sv),
+            }
+        )
+
+    return out.map_batches(_finish, batch_format="pyarrow")
+
+
+def purchase_attribution(events: ray.data.Dataset) -> ray.data.Dataset:
+    """(user_id, event_id, ts, click_event_id, click_ts, lag_us): each
+    purchase matched to the same user's most recent click at or before it
+    (inner as-of join; unattributed purchases drop). The event-attribution
+    pipeline: one shuffle, per-user searchsorted merge."""
+    from ..stages.asofjoin import asof_join
+
+    def _purchases(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "purchase")
+        t = t.filter(m)
+        return t.select(["user_id", "ts", "event_id"])
+
+    def _clicks(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["event_type"], "click")
+        t = t.filter(m)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "click_event_id": t["event_id"],
+                "click_ts": t["ts"],
+            }
+        )
+
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    left = events.select_columns(cols).map_batches(
+        _purchases, batch_format="pyarrow"
+    )
+    right = events.select_columns(cols).map_batches(
+        _clicks, batch_format="pyarrow"
+    )
+    joined = asof_join(
+        left,
+        right,
+        by="user_id",
+        on="ts",
+        left_cols=["event_id"],
+        right_cols=["click_event_id", "click_ts"],
+    )
+
+    def _lag(t: pa.Table) -> pa.Table:
+        lag = pc.cast(t["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        ) - pc.cast(t["click_ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return t.append_column("lag_us", pa.array(lag))
+
+    return joined.map_batches(_lag, batch_format="pyarrow")
