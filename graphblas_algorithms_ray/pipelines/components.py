@@ -321,8 +321,12 @@ def connected_components(
                     return ray.data.read_parquet(sdir)  # already converged
                 start_it = ck_it + 1
                 resume_refs = dense_part_refs(sdir)
+        from ..stages.bsp_actors import dense_actors_for
+
         pool = DensePool(
-            P, _CCDenseProg(g.csr_refs, n, P, hub=hub_split(g), resume_refs=resume_refs)
+            P,
+            _CCDenseProg(g.csr_refs, n, P, hub=hub_split(g), resume_refs=resume_refs),
+            num_actors=dense_actors_for(g.m),
         )
         lineage = {"algo": "connected_components", "graph": g.workdir, "n": n, "m": g.m}
         it = start_it

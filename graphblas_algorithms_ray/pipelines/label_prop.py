@@ -275,9 +275,11 @@ def label_propagation(G, max_iter: int = 30, chain: int = 5, executor: str = "da
     ):
         # dense-layout fused mesh — the large-graph throughput path
         # (checked before any row-state init; the mesh builds its own state)
-        from ..stages.bsp_actors import DensePool, StatBelow
+        from ..stages.bsp_actors import DensePool, StatBelow, dense_actors_for
 
-        pool = DensePool(P, _LPADenseProg(g.csr_refs, n, P))
+        pool = DensePool(
+            P, _LPADenseProg(g.csr_refs, n, P), num_actors=dense_actors_for(g.m)
+        )
         it = 0
         while it < max_iter:
             k = min(8, max_iter - it)

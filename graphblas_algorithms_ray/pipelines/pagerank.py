@@ -421,12 +421,15 @@ def pagerank(
                     return ray.data.read_parquet(sdir)  # already converged
                 start_it = ck_it + 1
                 resume_refs = dense_part_refs(sdir)
+        from ..stages.bsp_actors import dense_actors_for
+
         pool = DensePool(
             P,
             _PRDenseProg(
                 G.csr_refs, G.aux_refs, n, P, alpha, p_ref, dw_ref, x0_ref,
                 G.weighted, hub=hub_split(G), resume_refs=resume_refs,
             ),
+            num_actors=dense_actors_for(G.m),
         )
         lineage = {
             "algo": "pagerank",

@@ -228,14 +228,33 @@ class _PartWorker:
 
 
 def fused_min_edges() -> int:
-    """Edge-count threshold for the fused P2P path. Below it, the dense
-    driver-orchestrated exchange wins (latency regime: 64 driver RPCs beat
-    P² peer messages); above it, the fused mesh wins (bandwidth regime:
-    O(data) exchange beats the dense mode's O(P·data) read amplification,
-    and the driver leaves the loop). Override via GRAFT_FUSED_MIN_EDGES."""
+    """Edge-count threshold for the actor-mesh paths. Below it, the
+    driver-orchestrated exchange wins (latency regime: a handful of driver
+    RPCs beat peer-mesh setup); above it, the fused mesh wins — and since
+    the DensePool actor count now auto-sizes to the edge count
+    (``dense_actors_for``), the mesh's A² peer exchange no longer swamps
+    mid-size graphs, so the crossover sits far lower than the old 4M.
+    Override via GRAFT_FUSED_MIN_EDGES."""
     import os
 
-    return int(os.environ.get("GRAFT_FUSED_MIN_EDGES", "4000000"))
+    return int(os.environ.get("GRAFT_FUSED_MIN_EDGES", "100000"))
+
+
+_DENSE_EDGES_PER_ACTOR = 100_000
+
+
+def dense_actors_for(m: int) -> int | None:
+    """Auto-size the dense mesh to the graph: per-superstep cost is
+    (compute m/A) + (exchange ~A² small RPCs), so small graphs want few
+    actors — measured at 402k edges: A=32 2.7 s vs A=4 0.37 s for 20
+    supersteps. ~100k edges per actor up to the CPU budget; returns None
+    (let DensePool decide) when GRAFT_DENSE_ACTORS explicitly pins A."""
+    import os
+
+    if os.environ.get("GRAFT_DENSE_ACTORS"):
+        return None
+    cpus = int(ray.cluster_resources().get("CPU", 1))
+    return max(2, min(cpus, -(-m // _DENSE_EDGES_PER_ACTOR)))
 
 
 class StatBelow:
