@@ -22,13 +22,13 @@ def entry() -> Any:
     """Corpus → link extraction → Graph → PageRank → top-1000 url scores."""
     import ray.data
 
-    from graphblas_algorithms_ray.sources.corpus import corpus_parquet
+    from graphblas_algorithms_ray.sources.corpus import corpus_parquet, read_corpus
     from graphblas_algorithms_ray.sources.extract import graph_from_corpus
     from graphblas_algorithms_ray.pipelines.pagerank import pagerank
 
     from graphblas_algorithms_ray.stages.hashjoin import lookup_join
 
-    corpus = ray.data.read_parquet(corpus_parquet(1000))
+    corpus = read_corpus(corpus_parquet(1000))
     g, dictionary = graph_from_corpus(corpus, num_parts=8)
     pr = pagerank(g)
     # join scores back to urls fully distributed (bucketed hash join —

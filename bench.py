@@ -48,7 +48,7 @@ def run_bench() -> dict:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray.data
-    from graphblas_algorithms_ray.sources.corpus import corpus_parquet
+    from graphblas_algorithms_ray.sources.corpus import corpus_parquet, read_corpus
     from graphblas_algorithms_ray.sources.extract import graph_from_corpus
     from graphblas_algorithms_ray.pipelines.pagerank import pagerank
     from graphblas_algorithms_ray.pipelines.components import connected_components
@@ -67,10 +67,10 @@ def run_bench() -> dict:
     corpus_path = corpus_parquet(n_docs, density=density)  # cached; untimed
 
     # warm the page cache so we measure compute+shuffle, not first disk read
-    ray.data.read_parquet(corpus_path).count()
+    read_corpus(corpus_path).count()
 
     t0 = time.time()
-    corpus = ray.data.read_parquet(corpus_path)
+    corpus = read_corpus(corpus_path)
     g, _ = graph_from_corpus(corpus, num_parts=num_parts)
     timings["extract_and_build"] = time.time() - t0
 

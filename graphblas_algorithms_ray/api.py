@@ -513,12 +513,12 @@ def _corpus_n_docs(sf_dir) -> int:
 def _corpus_graph(sf_dir):
     if sf_dir not in _corpus_graph_cache:
         import ray.data
-        from .sources.corpus import corpus_parquet, ground_truth_parquet
+        from .sources.corpus import corpus_parquet, ground_truth_parquet, read_corpus
         from .sources.extract import graph_from_corpus
 
         n_docs = _corpus_n_docs(sf_dir)
         ground_truth_parquet(n_docs)  # oracle side table
-        corpus = ray.data.read_parquet(corpus_parquet(n_docs))
+        corpus = read_corpus(corpus_parquet(n_docs))
         g, d = graph_from_corpus(corpus, num_parts=8)
         _corpus_graph_cache[sf_dir] = (g, d)
     return _corpus_graph_cache[sf_dir]
