@@ -261,6 +261,12 @@ def q_median_chars_by_lang(sf_dir):
     return median_chars_by_lang(_docs(sf_dir))
 
 
+def q_tfidf_topk(sf_dir):
+    from .pipelines.text import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir), k=3)
+
+
 def q_events_hourly(sf_dir):
     import ray.data
     from .pipelines.events import hourly_windows
@@ -592,6 +598,7 @@ QUERIES = {
     "word_topk": q_word_topk,
     "top_docs_per_lang": q_top_docs_per_lang,
     "median_chars_by_lang": q_median_chars_by_lang,
+    "tfidf_top_terms": q_tfidf_topk,
     "events_hourly": q_events_hourly,
     "events_sessions": q_sessions,
     "events_sliding": q_sliding_windows,
@@ -875,6 +882,18 @@ GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""",
   FROM documents) WHERE r <= 3 ORDER BY lang, doc_id""",
     "median_chars_by_lang": """SELECT lang, median(n_chars)::DOUBLE AS median_chars
 FROM documents GROUP BY lang ORDER BY lang""",
+    "tfidf_top_terms": """WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT word, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.word, tf.tf,
+             ROUND(tf.tf * ln(nn.n / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.word = df.word CROSS JOIN nn)
+SELECT doc_id, word, tf, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS r
+  FROM s) WHERE r <= 3 ORDER BY doc_id, word""",
     "events_hourly": """SELECT event_type, date_trunc('hour', ts) AS hour,
   COUNT(*)::BIGINT AS n, ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -349,3 +349,100 @@ def median_chars_by_lang(docs: ray.data.Dataset) -> ray.data.Dataset:
     return hist.groupby("lang").map_groups(
         named(_HistMedian()), batch_format="pyarrow"
     )
+
+
+class _DocTermCounts:
+    """Per-batch (doc_id, word, tf) — documents are whole within a batch,
+    so per-batch counts ARE the final per-doc term frequencies."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(col, r"\s+")
+        toks = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False), lens
+        )
+        words = toks.to_numpy(zero_copy_only=False)
+        keep = words != ""
+        df = pd.DataFrame({"doc_id": doc_ids[keep], "word": words[keep]})
+        g = (
+            df.groupby(["doc_id", "word"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        g["tf"] = g["tf"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+
+class _TfidfTopK:
+    def __init__(self, k: int):
+        self.k = k
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tfidf", "word"], ascending=[False, True], kind="stable")
+        return g.head(self.k)[["doc_id", "word", "tf", "tfidf"]]
+
+
+def tfidf_topk(docs: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
+    """(doc_id, word, tf, tfidf): each document's k most characteristic
+    terms, tfidf = tf * ln(N/df) rounded to 6 dp, ties by word ascending.
+
+    Scale shape: term frequencies finalize per batch (documents never
+    span batches); document frequencies pre-combine per batch before one
+    vocab-sized groupby; the df table joins back in via the bucketed
+    lookup_join (both sides distributed — no driver vocab dict); top-k
+    runs per doc-id group (per-doc term lists are tiny)."""
+    import pyarrow.compute as pc
+
+    from .._util import named
+    from ..stages.hashjoin import lookup_join
+
+    n_docs = docs.count()
+    tf = docs.select_columns(["doc_id", "text"]).map_batches(
+        _DocTermCounts(), batch_format="pyarrow"
+    ).materialize()  # consumed by the df aggregate AND the join
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        vc = _pc.value_counts(t["word"])
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "df": _pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    df_table = (
+        tf.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("word")
+        .sum("df", ignore_nulls=True)
+        .map_batches(
+            lambda t: pa.table({"word": t["word"], "df": t["sum(df)"]}),
+            batch_format="pyarrow",
+        )
+    )
+    joined = lookup_join(tf, "word", df_table, "word", "df", "df")
+
+    def _score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = np.round(tfv * np.log(float(n_docs) / dfv), 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "word": t["word"],
+                "tf": t["tf"],
+                "tfidf": pa.array(tfidf),
+            }
+        )
+
+    scored = joined.map_batches(_score, batch_format="pyarrow")
+    return scored.groupby("doc_id").map_groups(
+        named(_TfidfTopK(k)), batch_format="pandas"
+    )

@@ -83,3 +83,36 @@ def test_median_matches_interpolated():
     # and it agrees with numpy's interpolated median (same definition)
     for lang, grp in df.groupby("lang"):
         assert got[lang] == float(np.median(grp["n_chars"]))
+
+
+def test_tfidf_topk_matches_bruteforce():
+    from graphblas_algorithms_ray.pipelines.text import tfidf_topk
+
+    rows = _corpus()
+    ds = ray.data.from_items(rows)
+    got = tfidf_topk(ds, k=3).to_pandas()
+
+    df = pd.DataFrame(rows)
+    n = len(df)
+    recs = []
+    for _, r in df.iterrows():
+        toks = [w for w in r["text"].split() if w]
+        if not toks:
+            continue
+        tf = pd.Series(toks).value_counts()
+        recs += [(r["doc_id"], w, int(c)) for w, c in tf.items()]
+    tfd = pd.DataFrame(recs, columns=["doc_id", "word", "tf"])
+    dfreq = tfd.groupby("word")["doc_id"].nunique()
+    tfd["tfidf"] = np.round(
+        tfd["tf"].astype(float)
+        * np.log(float(n) / dfreq[tfd["word"]].values.astype(float)),
+        6,
+    )
+    expect = (
+        tfd.sort_values(["doc_id", "tfidf", "word"], ascending=[True, False, True])
+        .groupby("doc_id")
+        .head(3)
+    )
+    g = set(map(tuple, got[["doc_id", "word", "tf", "tfidf"]].itertuples(index=False)))
+    e = set(map(tuple, expect[["doc_id", "word", "tf", "tfidf"]].itertuples(index=False)))
+    assert g == e
