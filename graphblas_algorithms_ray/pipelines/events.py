@@ -103,7 +103,11 @@ def sliding_windows(
     slide_us = slide_minutes * 60 * 1_000_000
 
     def _partial(t: pa.Table) -> pa.Table:
-        ep = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        # normalize to microseconds first: a ns-resolution ts column would
+        # otherwise cast to ns-since-epoch and bucket 1000x too fine
+        ep = pc.cast(
+            pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
         b0 = ep // slide_us
         parts = []
         for o in range(k):
@@ -178,12 +182,11 @@ def purchase_attribution(events: ray.data.Dataset) -> ray.data.Dataset:
         )
 
     cols = ["event_id", "ts", "user_id", "event_type"]
-    left = events.select_columns(cols).map_batches(
-        _purchases, batch_format="pyarrow"
-    )
-    right = events.select_columns(cols).map_batches(
-        _clicks, batch_format="pyarrow"
-    )
+    # both join sides branch off this dataset — materialize once or the
+    # read+projection lineage executes twice
+    base = events.select_columns(cols).materialize()
+    left = base.map_batches(_purchases, batch_format="pyarrow")
+    right = base.map_batches(_clicks, batch_format="pyarrow")
     joined = asof_join(
         left,
         right,
@@ -194,9 +197,12 @@ def purchase_attribution(events: ray.data.Dataset) -> ray.data.Dataset:
     )
 
     def _lag(t: pa.Table) -> pa.Table:
-        lag = pc.cast(t["ts"], pa.int64()).to_numpy(
-            zero_copy_only=False
-        ) - pc.cast(t["click_ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        # cast through timestamp[us] so lag_us is microseconds whatever
+        # resolution the input column carried
+        us = lambda c: pc.cast(pc.cast(c, pa.timestamp("us")), pa.int64())
+        lag = us(t["ts"]).to_numpy(zero_copy_only=False) - us(
+            t["click_ts"]
+        ).to_numpy(zero_copy_only=False)
         return t.append_column("lag_us", pa.array(lag))
 
     return joined.map_batches(_lag, batch_format="pyarrow")

@@ -367,16 +367,19 @@ class _DocTermCounts:
         doc_ids = np.repeat(
             t["doc_id"].to_numpy(zero_copy_only=False), lens
         )
-        words = toks.to_numpy(zero_copy_only=False)
-        keep = words != ""
-        df = pd.DataFrame({"doc_id": doc_ids[keep], "word": words[keep]})
-        g = (
-            df.groupby(["doc_id", "word"], sort=False)
-            .size()
-            .reset_index(name="tf")
+        # Arrow-native (doc, word) count — object-dtype numpy / pandas
+        # hashing here would be Python-speed per token
+        flat = pa.table({"doc_id": pa.array(doc_ids), "word": toks}).filter(
+            pc.not_equal(toks, "")
         )
-        g["tf"] = g["tf"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = flat.group_by(["doc_id", "word"]).aggregate([("word", "count")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "word": g["word"],
+                "tf": pc.cast(g["word_count"], pa.int64()),
+            }
+        )
 
 
 class _TfidfTopK:

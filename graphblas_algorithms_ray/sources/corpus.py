@@ -210,5 +210,10 @@ def read_corpus(path: str, columns: list[str] | None = None) -> ray.data.Dataset
     dominates pruned reads. Pass ``columns`` to prune at the read."""
     cpus = int(ray.cluster_resources().get("CPU", 8))
     n_files = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
-    nb = max(1, min(n_files, cpus * 2))
-    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
+    if n_files <= cpus * 2:
+        # few (possibly large) files: let the default planner split by
+        # row group — overriding here would serialize big-file reads
+        return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=cpus * 2
+    )

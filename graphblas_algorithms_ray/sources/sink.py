@@ -84,6 +84,11 @@ def write_partitioned(
     the shuffle entirely (filtered before the groupby, broadcast done-set)
     and reported with ``skipped=True``."""
     os.makedirs(path, exist_ok=True)
+    # sweep tmp dirs orphaned by dead runs (killed between write_table and
+    # os.replace) — they are invisible to readers but accumulate on disk
+    for d in os.listdir(path):
+        if d.startswith(".tmp-"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     done = finished_partitions(path, by) if resume else set()
     work = ds
     if done:

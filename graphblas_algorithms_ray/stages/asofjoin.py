@@ -45,39 +45,62 @@ class _Tag:
 
 
 class _AsofMerge:
+    """Arrow-native group merge: the side split, right-dup resolution and
+    searchsorted run on the group's Arrow table directly — int64 value
+    columns never take a float64 detour (a pandas hop would silently
+    round ids above 2^53)."""
+
     def __init__(self, by, on, left_cols, right_cols, tie_col):
         self.by, self.on = by, on
         self.left_cols, self.right_cols = left_cols, right_cols
         self.tie_col = tie_col
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        out_cols = (
-            [self.by] + self.left_cols + [self.on] + self.right_cols
+    @staticmethod
+    def _ordkey(tbl: pa.Table, col: str) -> np.ndarray:
+        c = tbl[col]
+        if pa.types.is_timestamp(c.type):
+            c = pa.compute.cast(c, pa.int64())
+        return c.to_numpy(zero_copy_only=False)
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_cols = [self.by] + self.left_cols + [self.on] + self.right_cols
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        r = g.filter(pa.array(side == 0)).select(
+            [self.by, self.on] + self.right_cols
         )
-        r = g[g["__side"] == 0]
-        l = g[g["__side"] == 1]
-        if len(l) == 0 or len(r) == 0:
-            return g.iloc[0:0][[self.by, self.on] + self.left_cols].assign(
-                **{c: pd.Series(dtype=r[c].dtype) for c in self.right_cols}
-            )[out_cols]
+        l = g.filter(pa.array(side == 1)).select(
+            [self.by, self.on] + self.left_cols
+        )
+        if l.num_rows == 0 or r.num_rows == 0:
+            empty = {self.by: l[self.by], self.on: l[self.on]}
+            for c in self.left_cols:
+                empty[c] = l[c]
+            for c in self.right_cols:
+                empty[c] = r[c].slice(0, 0) if l.num_rows == 0 else pa.nulls(0, r[c].type)
+            return pa.table(empty).select(out_cols).slice(0, 0)
         # dedup right at equal `on`: keep the max tie_col row (stable sort
-        # then last-per-on)
-        r = r.sort_values([self.on, self.tie_col], kind="stable")
-        keep_last = np.ones(len(r), dtype=bool)
-        ron = r[self.on].values
+        # by (on, tie) then last-per-on)
+        order = np.lexsort(
+            (self._ordkey(r, self.tie_col), self._ordkey(r, self.on))
+        )
+        r = r.take(pa.array(order))
+        ron = self._ordkey(r, self.on)
+        keep_last = np.ones(len(ron), dtype=bool)
         keep_last[:-1] = ron[:-1] != ron[1:]
-        r = r[keep_last]
-        ron = r[self.on].values
-        idx = np.searchsorted(ron, l[self.on].values, side="right") - 1
+        r = r.filter(pa.array(keep_last))
+        ron = ron[keep_last]
+        idx = np.searchsorted(ron, self._ordkey(l, self.on), side="right") - 1
         matched = idx >= 0
-        l = l[matched]
-        ridx = idx[matched]
-        out = {self.by: l[self.by].values, self.on: l[self.on].values}
+        l = l.filter(pa.array(matched))
+        ridx = pa.array(idx[matched])
+        out = {self.by: l[self.by], self.on: l[self.on]}
         for c in self.left_cols:
-            out[c] = l[c].values
+            out[c] = l[c]
         for c in self.right_cols:
-            out[c] = r[c].values[ridx]
-        return pd.DataFrame(out)[out_cols]
+            out[c] = r[c].take(ridx)
+        return pa.table(out).select(out_cols)
 
 
 def asof_join(
@@ -140,12 +163,11 @@ def asof_join(
     unioned = left_tag.union(right_tag)
     merged = unioned.groupby(by).map_groups(
         named(_AsofMerge(by, on, left_cols, right_cols, tie_col)),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
 
-    # the null-filled union forces int columns to float64 inside the pandas
-    # groups; restore every value column's declared type (inner join ==>
-    # no nulls survive)
+    # safety net: if any engine-internal conversion widened a declared
+    # type, cast it back (inner join ==> no nulls survive the merge)
     want = {n: t for n, t, _ in schema_cols}
 
     def _restore(t: pa.Table) -> pa.Table:

@@ -254,7 +254,13 @@ def dense_actors_for(m: int) -> int | None:
     if os.environ.get("GRAFT_DENSE_ACTORS"):
         return None
     cpus = int(ray.cluster_resources().get("CPU", 1))
-    return max(2, min(cpus, -(-m // _DENSE_EDGES_PER_ACTOR)))
+    a = max(1, -(-m // _DENSE_EDGES_PER_ACTOR))
+    # quantize to the power-of-two floor: nearby graph sizes (directed m
+    # vs symmetrized 2m) then share a cached mesh instead of each keeping
+    # a private actor pool alive, and the measured optimum at small m
+    # sits at the lower A anyway
+    a = 1 << (a.bit_length() - 1)
+    return max(2, min(cpus, a))
 
 
 class StatBelow:
@@ -590,6 +596,14 @@ class DensePool:
         ws = DensePool._meshes.get(key)
         fresh = ws is None
         if fresh:
+            # bounded mesh cache: auto-sized A varies with graph size, so
+            # evict the oldest mesh past the cap (pools are per-call
+            # transients; only cached meshes keep actors alive)
+            while len(DensePool._meshes) >= 6:
+                old_key = next(iter(DensePool._meshes))
+                for w in DensePool._meshes.pop(old_key):
+                    ray.kill(w)
+                DensePool._bases.pop(old_key, None)
             ws = [_DenseWorker.remote(a, self.A, num_parts) for a in range(self.A)]
             DensePool._meshes[key] = ws
         self.workers = ws

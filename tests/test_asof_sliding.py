@@ -118,3 +118,49 @@ def test_purchase_attribution_lag_nonnegative():
         c = clicks[(clicks.user_id == row.user_id) & (clicks.ts <= row.ts)]
         best = c.sort_values(["ts", "event_id"]).iloc[-1]
         assert best.event_id == row.click_event_id
+
+
+def test_sliding_and_lag_ns_resolution_input():
+    # pandas-default datetime64[ns] input must behave identically to [us]
+    df = _mk_events(n=200)
+    df_ns = df.copy()
+    df_ns["ts"] = df_ns["ts"].astype("datetime64[ns]")
+    got_us = sliding_windows(ray.data.from_pandas(df)).to_pandas()
+    got_ns = sliding_windows(ray.data.from_pandas(df_ns)).to_pandas()
+    a = got_us.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    b = got_ns.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["n"].values == b["n"].values).all()
+    assert (
+        a["window_start"].values.astype("datetime64[us]")
+        == b["window_start"].values.astype("datetime64[us]")
+    ).all()
+
+    lag_us = purchase_attribution(ray.data.from_pandas(df)).to_pandas()
+    lag_ns = purchase_attribution(ray.data.from_pandas(df_ns)).to_pandas()
+    a = lag_us.sort_values("event_id").reset_index(drop=True)
+    b = lag_ns.sort_values("event_id").reset_index(drop=True)
+    assert (a["lag_us"].values == b["lag_us"].values).all()
+
+
+def test_asof_join_preserves_large_int64():
+    # ids above 2^53 must survive the join exactly (no float64 detour)
+    t = np.datetime64("2024-01-01T12:00:00", "us")
+    big = np.int64(2**60 + 1)
+    left = pd.DataFrame(
+        {"user_id": [1], "ts": [t + np.timedelta64(1, "s")],
+         "event_id": np.array([big + 7], np.int64)}
+    )
+    right = pd.DataFrame(
+        {"user_id": [1], "ts": [t], "click_event_id": np.array([big], np.int64)}
+    )
+    got = asof_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        by="user_id",
+        on="ts",
+        left_cols=["event_id"],
+        right_cols=["click_event_id"],
+    ).to_pandas()
+    assert int(got["click_event_id"].iloc[0]) == int(big)
+    assert int(got["event_id"].iloc[0]) == int(big + 7)
