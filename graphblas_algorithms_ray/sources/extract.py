@@ -160,6 +160,15 @@ class _DedupKey:
 
 
 @ray.remote
+def _dedup_block_col(t: pa.Table, col: str) -> pa.Table:
+    """One tiny task per materialized block: distinct values of ``col``
+    as a (url) table — the task-based analog of the _DedupKey combiner."""
+    import pyarrow.compute as pc
+
+    return pa.table({"url": pc.unique(t[col])})
+
+
+@ray.remote
 def _sample_block(t: pa.Table, rate: int):
     """Deterministic splitter sample of one dictionary block (stable hash
     % rate == 0); returns a fixed-width unicode array for C-speed driver
@@ -276,8 +285,17 @@ def build_vertex_dictionary(
     u = urls.map_batches(
         _DedupKey("url"), batch_format="pyarrow", batch_size=2_000_000
     ).materialize()
-    blocks = u.to_arrow_refs()
+    return rank_url_blocks(
+        u.to_arrow_refs(), sample_rate=sample_rate, num_buckets_hint=num_buckets_hint
+    )
 
+
+def rank_url_blocks(
+    blocks, sample_rate: int = 64, num_buckets_hint: int | None = None
+) -> ray.data.Dataset:
+    """The dense-rank core of ``build_vertex_dictionary`` over materialized
+    (url) block refs — pure Ray tasks, no Dataset job. Duplicate urls may
+    appear ACROSS blocks (the per-bucket rank task uniques globally)."""
     # splitter sample straight off the materialized blocks (one tiny task
     # per block — no extra Dataset pass over the full url set)
     sample_parts = ray.get([_sample_block.remote(b, sample_rate) for b in blocks])
@@ -403,11 +421,16 @@ def graph_from_corpus(
     from ..state.graph import Graph
 
     links = extract_links(corpus).materialize()
-    page_urls = corpus.select_columns(["url"])
-    tgt_urls = links.map_batches(
-        lambda t: pa.table({"url": t["dst_url"]}), batch_format="pyarrow"
-    )
-    dictionary = build_vertex_dictionary(page_urls.union(tgt_urls)).materialize()
+    # dictionary input assembled as TASKS over already-materialized blocks
+    # (per-block dst dedup + the pruned page-url read) — no union/combine
+    # Dataset job between extraction and the rank shuffle
+    page_urls = corpus.select_columns(["url"]).materialize()
+    dst_blocks = [
+        _dedup_block_col.remote(b, "dst_url") for b in links.to_arrow_refs()
+    ]
+    dictionary = rank_url_blocks(
+        page_urls.to_arrow_refs() + dst_blocks
+    ).materialize()
     n = dictionary.count()
     edges = map_edges_to_ids(links, dictionary, broadcast_limit)
     g = Graph(edges, n=n, directed=directed, num_parts=num_parts, name=name)
