@@ -267,6 +267,12 @@ def q_tfidf_topk(sf_dir):
     return tfidf_topk(_docs(sf_dir), k=3)
 
 
+def q_bigram_topk(sf_dir):
+    from .pipelines.text import bigram_topk
+
+    return bigram_topk(_docs(sf_dir), k=20)
+
+
 def q_events_hourly(sf_dir):
     import ray.data
     from .pipelines.events import hourly_windows
@@ -599,6 +605,7 @@ QUERIES = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "median_chars_by_lang": q_median_chars_by_lang,
     "tfidf_top_terms": q_tfidf_topk,
+    "bigram_topk": q_bigram_topk,
     "events_hourly": q_events_hourly,
     "events_sessions": q_sessions,
     "events_sliding": q_sliding_windows,
@@ -876,6 +883,15 @@ FROM s ORDER BY doc_id""",
   SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
   FROM documents)
 GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""",
+    "bigram_topk": """WITH tok AS (
+  SELECT doc_id, w AS word, ord FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w,
+           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS ord
+    FROM documents) t WHERE w <> ''),
+seq AS (SELECT doc_id, word, lead(word) OVER (PARTITION BY doc_id ORDER BY ord) AS nxt FROM tok)
+SELECT word || ' ' || nxt AS bigram, COUNT(*)::BIGINT AS n
+FROM seq WHERE nxt IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""",
     "top_docs_per_lang": """SELECT lang, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS r

@@ -449,3 +449,53 @@ def tfidf_topk(docs: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
     return scored.groupby("doc_id").map_groups(
         named(_TfidfTopK(k)), batch_format="pandas"
     )
+
+
+class _BigramCountPartial:
+    """Per-batch (bigram, n) combiner: consecutive non-empty token pairs
+    within each document, zipped and counted entirely in Arrow/numpy."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.split_pattern_regex(col, r"\s+")
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        docidx = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(mask))
+        docidx = docidx[mask]
+        if len(flat) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        same = pa.array(docidx[1:] == docidx[:-1])
+        w1 = flat.slice(0, len(flat) - 1).filter(same)
+        w2 = flat.slice(1).filter(same)
+        bigrams = pc.binary_join_element_wise(w1, w2, " ")
+        vc = pc.value_counts(bigrams)
+        return pa.table(
+            {
+                "bigram": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+
+def bigram_topk(docs: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
+    """(bigram, n): the k most frequent consecutive token pairs corpus-wide
+    (phrase mining / BPE-merge candidates). Same combiner shape as
+    ``word_topk``: per-batch value_counts partial, one bigram-vocab-sized
+    groupby, final sort over the vocab table only."""
+    partial = docs.select_columns(["text"]).map_batches(
+        _BigramCountPartial(), batch_format="pyarrow"
+    )
+    totals = partial.groupby("bigram").sum("n", ignore_nulls=True)
+    totals = totals.map_batches(
+        lambda t: pa.table({"bigram": t["bigram"], "n": t["sum(n)"]}),
+        batch_format="pyarrow",
+    )
+    return totals.sort(["n", "bigram"], descending=[True, False]).limit(k)

@@ -116,3 +116,27 @@ def test_tfidf_topk_matches_bruteforce():
     g = set(map(tuple, got[["doc_id", "word", "tf", "tfidf"]].itertuples(index=False)))
     e = set(map(tuple, expect[["doc_id", "word", "tf", "tfidf"]].itertuples(index=False)))
     assert g == e
+
+
+def test_bigram_topk_matches_pandas():
+    from graphblas_algorithms_ray.pipelines.text import bigram_topk
+
+    rows = _corpus()
+    ds = ray.data.from_items(rows)
+    got = bigram_topk(ds, k=8).to_pandas()
+    bigrams = []
+    for r in rows:
+        toks = [w for w in r["text"].split() if w]
+        bigrams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    expect = (
+        pd.Series(bigrams)
+        .value_counts()
+        .rename_axis("bigram")
+        .reset_index(name="n")
+        .sort_values(["n", "bigram"], ascending=[False, True])
+        .head(8)
+        .reset_index(drop=True)
+    )
+    gsort = got.sort_values(["n", "bigram"], ascending=[False, True]).reset_index(drop=True)
+    assert list(gsort["bigram"]) == list(expect["bigram"])
+    assert list(gsort["n"]) == list(expect["n"])
