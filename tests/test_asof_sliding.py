@@ -164,3 +164,59 @@ def test_asof_join_preserves_large_int64():
     ).to_pandas()
     assert int(got["click_event_id"].iloc[0]) == int(big)
     assert int(got["event_id"].iloc[0]) == int(big + 7)
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    # independent oracle: pd.merge_asof (backward, exact matches allowed),
+    # right side pre-deduped to the max tie row per (user, ts)
+    for seed in (11, 12, 13):
+        rng = np.random.default_rng(seed)
+        nl, nr = 120, 300
+        t0 = np.datetime64("2024-01-01", "us")
+        left = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 5, nl).astype(np.int64),
+                "ts": t0 + rng.integers(0, 10_000_000, nl).astype("timedelta64[us]"),
+                "event_id": np.arange(nl, dtype=np.int64),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 5, nr).astype(np.int64),
+                "ts": t0 + rng.integers(0, 10_000_000, nr).astype("timedelta64[us]"),
+                "click_event_id": np.arange(nr, dtype=np.int64) + 1000,
+            }
+        )
+        got = (
+            asof_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                by="user_id",
+                on="ts",
+                left_cols=["event_id"],
+                right_cols=["click_event_id"],
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        rdedup = (
+            right.sort_values(["ts", "click_event_id"])
+            .groupby(["user_id", "ts"], as_index=False)
+            .last()
+        )
+        expect = pd.merge_asof(
+            left.sort_values("ts"),
+            rdedup.sort_values("ts"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        ).dropna(subset=["click_event_id"])
+        expect = expect.sort_values("event_id").reset_index(drop=True)
+        assert len(got) == len(expect), seed
+        assert (got["event_id"].values == expect["event_id"].values).all()
+        assert (
+            got["click_event_id"].values
+            == expect["click_event_id"].values.astype(np.int64)
+        ).all()
