@@ -74,12 +74,15 @@ class _AsofMerge:
             [self.by, self.on] + self.left_cols
         )
         if l.num_rows == 0 or r.num_rows == 0:
-            empty = {self.by: l[self.by], self.on: l[self.on]}
+            # zero-length ALL columns before table construction (a group
+            # with left rows but no right rows would otherwise mix lengths)
+            l0 = l.slice(0, 0)
+            empty = {self.by: l0[self.by], self.on: l0[self.on]}
             for c in self.left_cols:
-                empty[c] = l[c]
+                empty[c] = l0[c]
             for c in self.right_cols:
-                empty[c] = r[c].slice(0, 0) if l.num_rows == 0 else pa.nulls(0, r[c].type)
-            return pa.table(empty).select(out_cols).slice(0, 0)
+                empty[c] = r[c].slice(0, 0)
+            return pa.table(empty).select(out_cols)
         # dedup right at equal `on`: keep the max tie_col row (stable sort
         # by (on, tie) then last-per-on)
         order = np.lexsort(

@@ -220,3 +220,33 @@ def test_asof_join_matches_pandas_merge_asof():
             got["click_event_id"].values
             == expect["click_event_id"].values.astype(np.int64)
         ).all()
+
+
+def test_asof_join_group_with_no_right_rows():
+    # user 2 has purchases but zero clicks: the group must drop cleanly
+    t = np.datetime64("2024-01-01T12:00:00", "us")
+    left = pd.DataFrame(
+        {
+            "user_id": np.array([1, 2, 2], np.int64),
+            "ts": [t, t, t + np.timedelta64(5, "s")],
+            "event_id": np.array([10, 11, 12], np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": np.array([1], np.int64),
+            "ts": [t],
+            "click_event_id": np.array([99], np.int64),
+        }
+    )
+    got = asof_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        by="user_id",
+        on="ts",
+        left_cols=["event_id"],
+        right_cols=["click_event_id"],
+    ).to_pandas()
+    assert len(got) == 1
+    assert int(got["event_id"].iloc[0]) == 10
+    assert int(got["click_event_id"].iloc[0]) == 99
