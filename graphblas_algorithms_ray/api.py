@@ -273,6 +273,12 @@ def q_bigram_topk(sf_dir):
     return bigram_topk(_docs(sf_dir), k=20)
 
 
+def q_curation(sf_dir):
+    from .pipelines.text import curate
+
+    return curate(_docs(sf_dir))
+
+
 def q_events_hourly(sf_dir):
     import ray.data
     from .pipelines.events import hourly_windows
@@ -606,6 +612,7 @@ QUERIES = {
     "median_chars_by_lang": q_median_chars_by_lang,
     "tfidf_top_terms": q_tfidf_topk,
     "bigram_topk": q_bigram_topk,
+    "corpus_curation": q_curation,
     "events_hourly": q_events_hourly,
     "events_sessions": q_sessions,
     "events_sliding": q_sliding_windows,
@@ -892,6 +899,17 @@ seq AS (SELECT doc_id, word, lead(word) OVER (PARTITION BY doc_id ORDER BY ord) 
 SELECT word || ' ' || nxt AS bigram, COUNT(*)::BIGINT AS n
 FROM seq WHERE nxt IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 20""",
+    "corpus_curation": """WITH keep AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keeper FROM documents GROUP BY 1),
+d AS (SELECT doc.* FROM documents doc JOIN keep ON doc.doc_id = keep.keeper),
+s AS (SELECT doc_id, lang,
+        len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+        len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t IN ('the','and','of','a','to','in','is')))::DOUBLE AS n_stop
+      FROM d)
+SELECT doc_id, lang, n_tokens FROM s
+WHERE n_tokens >= 20 AND (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) <= 0.3
+  AND lang IN ('en', 'de', 'fr')
+ORDER BY doc_id""",
     "top_docs_per_lang": """SELECT lang, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS r

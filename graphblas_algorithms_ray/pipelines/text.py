@@ -499,3 +499,47 @@ def bigram_topk(docs: ray.data.Dataset, k: int = 20) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     return totals.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def curate(
+    docs: ray.data.Dataset,
+    min_tokens: int = 20,
+    max_stopword_ratio: float = 0.3,
+    langs: tuple = ("en", "de", "fr"),
+) -> ray.data.Dataset:
+    """(doc_id, lang, n_tokens): the composed curation pipeline — exact
+    dedup keep-first, then token/stopword quality gates, then a language
+    allowlist. One dedup semi-join plus one streaming stats pass; the
+    whole chain stays a lazy Dataset (filterable, writable, joinable)."""
+    import pyarrow.compute as pc
+
+    kept = dedup_keep_first(docs)
+    stop = set(STOPWORDS)
+    lang_ok = set(langs)
+    ws = _WS
+
+    def _gate(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_tok = np.empty(len(texts), np.int64)
+        n_stop = np.empty(len(texts), np.float64)
+        for i, tx in enumerate(texts):
+            toks = ws.findall(tx)
+            n_tok[i] = len(toks)
+            n_stop[i] = sum(1 for w in toks if w in stop)
+        langs_np = np.asarray(t["lang"].to_pylist(), dtype=object)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(n_tok > 0, n_stop / n_tok, 0.0)
+        keep = (
+            (n_tok >= min_tokens)
+            & (ratio <= max_stopword_ratio)
+            & np.isin(langs_np, list(lang_ok))
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "lang": t["lang"].filter(pa.array(keep)),
+                "n_tokens": pa.array(n_tok[keep]),
+            }
+        )
+
+    return kept.map_batches(_gate, batch_format="pyarrow")

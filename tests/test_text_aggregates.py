@@ -140,3 +140,29 @@ def test_bigram_topk_matches_pandas():
     gsort = got.sort_values(["n", "bigram"], ascending=[False, True]).reset_index(drop=True)
     assert list(gsort["bigram"]) == list(expect["bigram"])
     assert list(gsort["n"]) == list(expect["n"])
+
+
+def test_curate_composite_pipeline():
+    from graphblas_algorithms_ray.pipelines.text import STOPWORDS, curate
+
+    rows = _corpus()
+    # add an exact duplicate (higher id must drop) and a stopword-heavy doc
+    rows.append(dict(rows[0], doc_id=900))
+    rows.append(
+        {"doc_id": 901, "lang": "en", "text": "the and of " * 30, "n_chars": 330}
+    )
+    ds = ray.data.from_items(rows)
+    got = curate(ds, min_tokens=5, max_stopword_ratio=0.3).to_pandas()
+    ids = set(got["doc_id"])
+    assert 900 not in ids  # duplicate of doc 0 dropped (keep-first)
+    assert 901 not in ids  # stopword ratio 1.0 > 0.3
+    stop = set(STOPWORDS)
+    for r in rows:
+        if r["doc_id"] in (900, 901):
+            continue
+        toks = [w for w in r["text"].split() if w]
+        ratio = sum(1 for w in toks if w in stop) / len(toks) if toks else 0
+        expect = (
+            len(toks) >= 5 and ratio <= 0.3 and r["lang"] in ("en", "de", "fr")
+        )
+        assert (r["doc_id"] in ids) == expect, r["doc_id"]
