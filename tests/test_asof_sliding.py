@@ -250,3 +250,40 @@ def test_asof_join_group_with_no_right_rows():
     assert len(got) == 1
     assert int(got["event_id"].iloc[0]) == 10
     assert int(got["click_event_id"].iloc[0]) == 99
+
+
+def test_purchase_attribution_power_user_group():
+    # one user owns 60k of 61k events: the per-key merge must stay
+    # O(n log n) and exact (skew documented as the asof partitioning
+    # assumption)
+    rng = np.random.default_rng(21)
+    n = 60_000
+    t0 = np.datetime64("2024-01-01", "us")
+    heavy = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": t0 + np.sort(rng.integers(0, 10**9, n)).astype("timedelta64[us]"),
+            "user_id": np.zeros(n, np.int64),
+            "event_type": rng.choice(["click", "purchase"], n, p=[0.9, 0.1]),
+            "value": np.ones(n),
+        }
+    )
+    light = pd.DataFrame(
+        {
+            "event_id": np.arange(n, n + 1000, dtype=np.int64),
+            "ts": t0 + rng.integers(0, 10**9, 1000).astype("timedelta64[us]"),
+            "user_id": np.full(1000, 7, np.int64),
+            "event_type": rng.choice(["click", "purchase"], 1000),
+            "value": np.ones(1000),
+        }
+    )
+    df = pd.concat([heavy, light], ignore_index=True)
+    got = purchase_attribution(ray.data.from_pandas(df)).to_pandas()
+    n_purch_with_click = 0
+    for uid, grp in df.groupby("user_id"):
+        clicks = grp[grp.event_type == "click"].sort_values(["ts", "event_id"])
+        purchases = grp[grp.event_type == "purchase"]
+        idx = np.searchsorted(clicks["ts"].values, purchases["ts"].values, side="right")
+        n_purch_with_click += int((idx > 0).sum())
+    assert len(got) == n_purch_with_click
+    assert (got["lag_us"] >= 0).all()
