@@ -461,6 +461,7 @@ class _BigramCountPartial:
         col = t["text"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        col = pc.fill_null(col, "")  # null text = no tokens, like word_topk
         lists = pc.split_pattern_regex(col, r"\s+")
         flat = pc.list_flatten(lists)
         lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
@@ -511,21 +512,17 @@ def curate(
     dedup keep-first, then token/stopword quality gates, then a language
     allowlist. One dedup semi-join plus one streaming stats pass; the
     whole chain stays a lazy Dataset (filterable, writable, joinable)."""
-    import pyarrow.compute as pc
-
     kept = dedup_keep_first(docs)
-    stop = set(STOPWORDS)
     lang_ok = set(langs)
-    ws = _WS
 
     def _gate(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n_tok = np.empty(len(texts), np.int64)
-        n_stop = np.empty(len(texts), np.float64)
-        for i, tx in enumerate(texts):
-            toks = ws.findall(tx)
-            n_tok[i] = len(toks)
-            n_stop[i] = sum(1 for w in toks if w in stop)
+        # reuse the canonical token/stopword counters (single source of
+        # the \S+ token definition shared with the SQL oracles)
+        stats = _TokenStats()(t.select(["doc_id", "text"]))
+        n_tok = stats["n_tokens"].to_numpy(zero_copy_only=False)
+        n_stop = stats["n_stopwords"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
         langs_np = np.asarray(t["lang"].to_pylist(), dtype=object)
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = np.where(n_tok > 0, n_stop / n_tok, 0.0)

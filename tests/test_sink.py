@@ -69,3 +69,13 @@ def test_rerun_without_resume_overwrites_not_appends(tmp_path):
     )
     back = read_partitioned(path).to_pandas()
     assert len(back) == len(df)  # os.replace swap, never append
+
+
+def test_orphan_tmp_dirs_swept(tmp_path):
+    df = _df()
+    path = str(tmp_path / "out")
+    os.makedirs(os.path.join(path, ".tmp-deadbeef"))
+    with open(os.path.join(path, ".tmp-deadbeef", "part-0.parquet"), "w") as f:
+        f.write("junk")
+    write_partitioned(ray.data.from_pandas(df), path, by="lang")
+    assert not any(d.startswith(".tmp-") for d in os.listdir(path))

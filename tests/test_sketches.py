@@ -33,3 +33,11 @@ def test_hll_merge_invariant_to_partitioning():
         ray.data.from_pandas(df).repartition(32), "u", p=12
     )
     assert one == many
+
+
+def test_hll_ignores_nulls():
+    import pyarrow as pa
+
+    t = pa.table({"u": pa.array(["a", "b", None, "a"], pa.string())})
+    est = approx_distinct(ray.data.from_arrow(t), "u", p=12)
+    assert round(est) == 2

@@ -166,3 +166,20 @@ def test_curate_composite_pipeline():
             len(toks) >= 5 and ratio <= 0.3 and r["lang"] in ("en", "de", "fr")
         )
         assert (r["doc_id"] in ids) == expect, r["doc_id"]
+
+
+def test_bigram_and_word_topk_tolerate_null_text():
+    import pyarrow as pa
+    from graphblas_algorithms_ray.pipelines.text import bigram_topk, word_topk
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b c", None, "a b"], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    words = {r["word"]: r["n"] for r in word_topk(ds, k=10).take_all()}
+    assert words == {"a": 2, "b": 2, "c": 1}
+    bigs = {r["bigram"]: r["n"] for r in bigram_topk(ds, k=10).take_all()}
+    assert bigs == {"a b": 2, "b c": 1}
