@@ -279,6 +279,12 @@ def q_curation(sf_dir):
     return curate(_docs(sf_dir))
 
 
+def q_length_quantiles(sf_dir):
+    from .pipelines.text import length_quantiles_by_lang
+
+    return length_quantiles_by_lang(_docs(sf_dir))
+
+
 def q_events_hourly(sf_dir):
     import ray.data
     from .pipelines.events import hourly_windows
@@ -613,6 +619,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_topk,
     "bigram_topk": q_bigram_topk,
     "corpus_curation": q_curation,
+    "length_quantiles_by_lang": q_length_quantiles,
     "events_hourly": q_events_hourly,
     "events_sessions": q_sessions,
     "events_sliding": q_sliding_windows,
@@ -910,6 +917,11 @@ SELECT doc_id, lang, n_tokens FROM s
 WHERE n_tokens >= 20 AND (CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) <= 0.3
   AND lang IN ('en', 'de', 'fr')
 ORDER BY doc_id""",
+    "length_quantiles_by_lang": """SELECT lang,
+  ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+  ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
+FROM documents GROUP BY lang ORDER BY lang""",
     "top_docs_per_lang": """SELECT lang, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS r

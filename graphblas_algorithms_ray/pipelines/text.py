@@ -540,3 +540,51 @@ def curate(
         )
 
     return kept.map_batches(_gate, batch_format="pyarrow")
+
+
+class _HistQuantiles:
+    """Exact interpolated quantiles from a (value, count) histogram —
+    quantile_cont semantics: h = (n-1)q, x = v[⌊h⌋] + (h-⌊h⌋)(v[⌈h⌉]-v[⌊h⌋])."""
+
+    def __init__(self, qs: tuple):
+        self.qs = qs
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vals = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnts = t["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind="stable")
+        vals, cnts = vals[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        out = {"lang": pa.array([t["lang"][0].as_py()], pa.string())}
+        for q in self.qs:
+            h = (n - 1) * q
+            lo_i = int(np.searchsorted(cum, np.floor(h), side="right"))
+            hi_i = int(np.searchsorted(cum, np.ceil(h), side="right"))
+            frac = h - np.floor(h)
+            x = vals[lo_i] + frac * (vals[hi_i] - vals[lo_i])
+            out[f"p{int(q * 100)}"] = pa.array([round(float(x), 6)], pa.float64())
+        return pa.table(out)
+
+
+def length_quantiles_by_lang(
+    docs: ray.data.Dataset, qs: tuple = (0.25, 0.5, 0.75)
+) -> ray.data.Dataset:
+    """(lang, p25, p50, p75): exact interpolated document-length quantiles
+    per language — same value-domain-bounded histogram as the median, one
+    readout per requested quantile."""
+    from .._util import named
+
+    partial = docs.select_columns(["lang", "n_chars"]).map_batches(
+        _LenHistPartial(), batch_format="pyarrow"
+    )
+    hist = partial.groupby(["lang", "n_chars"]).sum("n", ignore_nulls=True)
+    hist = hist.map_batches(
+        lambda t: pa.table(
+            {"lang": t["lang"], "n_chars": t["n_chars"], "n": t["sum(n)"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return hist.groupby("lang").map_groups(
+        named(_HistQuantiles(qs)), batch_format="pyarrow"
+    )

@@ -183,3 +183,18 @@ def test_bigram_and_word_topk_tolerate_null_text():
     assert words == {"a": 2, "b": 2, "c": 1}
     bigs = {r["bigram"]: r["n"] for r in bigram_topk(ds, k=10).take_all()}
     assert bigs == {"a b": 2, "b c": 1}
+
+
+def test_length_quantiles_match_numpy():
+    from graphblas_algorithms_ray.pipelines.text import length_quantiles_by_lang
+
+    rows = _corpus()
+    ds = ray.data.from_items(rows)
+    got = {r["lang"]: r for r in length_quantiles_by_lang(ds).take_all()}
+    df = pd.DataFrame(rows)
+    for lang, grp in df.groupby("lang"):
+        v = grp["n_chars"].to_numpy()
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            assert got[lang][col] == round(
+                float(np.quantile(v, q, method="linear")), 6
+            ), (lang, q)
