@@ -23,3 +23,26 @@ def ray_session():
     ctx.execution_options.verbose_progress = False
     yield
     ray.shutdown()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _drain_actor_pool_caches():
+    """Kill cached BSP/dense actor meshes after each test module. The
+    class-level pool caches (amortizing actor startup within a kernel
+    sequence) otherwise accumulate one idle P-actor mesh per distinct
+    partition count across the whole session — by the late suite the
+    heavy tests ran 4-6x slower than in isolation."""
+    yield
+    from graphblas_algorithms_ray.stages import bsp_actors as b
+
+    for ws in list(b.DensePool._meshes.values()):
+        for w in ws:
+            ray.kill(w)
+    b.DensePool._meshes.clear()
+    b.DensePool._bases.clear()
+    for ws in list(b.BSPPool._shared_workers.values()):
+        for w in ws:
+            ray.kill(w)
+    b.BSPPool._shared_workers.clear()
+    b.BSPPool._round_bases.clear()
+    b.BSPPool._peers_wired.clear()
