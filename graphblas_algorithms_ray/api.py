@@ -285,6 +285,12 @@ def q_length_quantiles(sf_dir):
     return length_quantiles_by_lang(_docs(sf_dir))
 
 
+def q_assign_splits(sf_dir):
+    from .pipelines.text import assign_splits
+
+    return assign_splits(_docs(sf_dir))
+
+
 def q_events_hourly(sf_dir):
     import ray.data
     from .pipelines.events import hourly_windows
@@ -620,6 +626,7 @@ QUERIES = {
     "bigram_topk": q_bigram_topk,
     "corpus_curation": q_curation,
     "length_quantiles_by_lang": q_length_quantiles,
+    "train_val_split": q_assign_splits,
     "events_hourly": q_events_hourly,
     "events_sessions": q_sessions,
     "events_sliding": q_sliding_windows,
@@ -922,6 +929,11 @@ ORDER BY doc_id""",
   ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
   ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
 FROM documents GROUP BY lang ORDER BY lang""",
+    "train_val_split": """SELECT doc_id,
+  CASE WHEN (doc_id * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT) THEN 'val'
+       WHEN (doc_id * 2654435761) % 4294967296 < CAST(0.2 * 4294967296 AS BIGINT) THEN 'test'
+       ELSE 'train' END AS split
+FROM documents ORDER BY doc_id""",
     "top_docs_per_lang": """SELECT lang, doc_id, n_chars FROM (
   SELECT lang, doc_id, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS r

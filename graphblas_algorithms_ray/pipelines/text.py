@@ -588,3 +588,32 @@ def length_quantiles_by_lang(
     return hist.groupby("lang").map_groups(
         named(_HistQuantiles(qs)), batch_format="pyarrow"
     )
+
+
+def assign_splits(
+    docs: ray.data.Dataset,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+) -> ray.data.Dataset:
+    """(doc_id, split): deterministic train/val/test assignment by a
+    Knuth multiplicative hash of the id — reproducible across runs,
+    machines and partitionings (never sample by row position: block
+    boundaries are not stable). Stateless per batch; no shuffle at all."""
+    m = np.uint64(2654435761)
+    mod = np.uint64(1) << np.uint64(32)
+    val_cut = np.uint64(int(val_frac * (1 << 32)))
+    test_cut = np.uint64(int((val_frac + test_frac) * (1 << 32)))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * m) % mod
+        out = np.where(
+            h < val_cut, "val", np.where(h < test_cut, "test", "train")
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(out.tolist(), pa.string())}
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        _assign, batch_format="pyarrow"
+    )

@@ -198,3 +198,23 @@ def test_length_quantiles_match_numpy():
             assert got[lang][col] == round(
                 float(np.quantile(v, q, method="linear")), 6
             ), (lang, q)
+
+
+def test_assign_splits_deterministic_and_proportional():
+    from graphblas_algorithms_ray.pipelines.text import assign_splits
+
+    df = pd.DataFrame({"doc_id": np.arange(20_000, dtype=np.int64)})
+    ds = ray.data.from_pandas(df)
+    a = assign_splits(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # repartitioning must not change any assignment
+    b = (
+        assign_splits(ray.data.from_pandas(df).repartition(16))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (a["split"].values == b["split"].values).all()
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    assert abs(frac["train"] - 0.8) < 0.02
