@@ -35,14 +35,17 @@ def convert_from_nx(graph, weight: str | None = None) -> Graph:
     label dictionary attached. Engine Graphs pass through unchanged."""
     if isinstance(graph, Graph):
         return graph
-    # cache key includes node/edge counts as a staleness guard: nx mutation
-    # (add/remove edges) must not re-dispatch against the pre-mutation
-    # conversion (ADVICE r2; nx's own backend cache invalidates on
-    # mutation — this private attr never would)
-    ckey = (weight, graph.number_of_nodes(), graph.number_of_edges())
-    cached = graph.__dict__.get(_CACHE_ATTR)
-    if cached is not None and cached[0] == ckey:
-        return cached[1]
+    # cache inside nx's own __networkx_cache__: every nx mutation method
+    # (add/remove edge, attribute writes via nx APIs) clears that dict, so
+    # count-preserving mutations can't serve a stale conversion (ADVICE r3
+    # — the old private-attr cache keyed on (weight, n, m) missed
+    # remove-one-add-one and in-place weight changes)
+    nx_cache = getattr(graph, "__networkx_cache__", None)
+    ckey = (_CACHE_ATTR, weight)
+    if isinstance(nx_cache, dict):
+        cached = nx_cache.get(ckey)
+        if cached is not None:
+            return cached
     nodes = list(graph.nodes())
     key_to_id = {k: i for i, k in enumerate(nodes)}
     if weight is not None:
@@ -60,10 +63,8 @@ def convert_from_nx(graph, weight: str | None = None) -> Graph:
     )
     g._key_to_id = key_to_id
     g._id_to_key = nodes
-    try:
-        graph.__dict__[_CACHE_ATTR] = (ckey, g)
-    except Exception:
-        pass
+    if isinstance(nx_cache, dict):
+        nx_cache[ckey] = g
     return g
 
 
@@ -533,7 +534,7 @@ class Dispatcher:
 
     @staticmethod
     def is_isolate(graph, n):
-        from .pipelines.structure import is_isolate
+        from .pipelines.misc import is_isolate
 
         g = convert_from_nx(graph, None)
         return bool(is_isolate(g, _id_of(g, n)))
@@ -548,7 +549,7 @@ class Dispatcher:
 
     @staticmethod
     def number_of_isolates(graph):
-        from .pipelines.misc import number_of_isolates
+        from .pipelines.structure import number_of_isolates
 
         return int(number_of_isolates(convert_from_nx(graph, None)))
 

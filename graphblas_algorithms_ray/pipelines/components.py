@@ -445,6 +445,18 @@ def is_connected(G) -> bool:
     ).unique("component").__len__() == 1
 
 
+def is_weakly_connected(G) -> bool:
+    """True iff the symmetrized digraph has one component
+    (reference ``algorithms/components/weakly_connected.py:5-8``).
+
+    ``connected_components`` already symmetrizes directed input, so
+    this is the same distinct-label-count check as ``is_connected``;
+    the separate name mirrors the reference API (directed-only)."""
+    if not G.directed:
+        raise ValueError("is_weakly_connected is for directed graphs")
+    return is_connected(G)
+
+
 def node_connected_component(G, v: int):
     """Vertex set of v's component (``connected.py:11-12``)."""
     import pyarrow.compute as pc
