@@ -2,15 +2,15 @@
 
 Ray Data has no event-time windows; tumbling windows are a key-bucketed
 groupby with the bucket computed vectorized per batch (pre-aggregated —
-the combiner), sessions are per-user map_groups over ts-sorted rows.
+the combiner), sessions are a coarse-hash groupby over complete users
+with a vectorized lexsort + gap-cumsum per coarse group.
 Ordering assumption: none for tumbling (bucketing is stateless); sessions
-sort within the user group.
+sort within the coarse group.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -58,33 +58,80 @@ def hourly_windows(events: ray.data.Dataset) -> ray.data.Dataset:
     return out.map_batches(_round, batch_format="pyarrow")
 
 
-def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Dataset:
-    """(user_id, session_id, n_events, start_ts, end_ts): session windows per
-    user, new session when the gap to the previous event exceeds the
-    threshold. groupby(user).map_groups over ts-sorted rows."""
-    gap = np.timedelta64(gap_minutes * 60, "s")
+class _GroupedSessions:
+    """Coarse group (~thousands of COMPLETE user_id groups per call via
+    `_CoarseKey`) → session windows, one lexsort + vectorized gap-cumsum
+    per call instead of one Python call per user (the r3 scale-killer).
 
-    class _Sessions:
-        def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["ts", "event_id"])
-            ts = g["ts"].values
-            new = np.ones(len(g), dtype=bool)
-            if len(g) > 1:
-                new[1:] = (ts[1:] - ts[:-1]) > gap
-            sid = np.cumsum(new) - 1
-            out = (
-                pd.DataFrame({"session_id": sid, "ts": ts})
-                .groupby("session_id")
-                .agg(n_events=("ts", "size"), start_ts=("ts", "min"), end_ts=("ts", "max"))
-                .reset_index()
+    All timestamp math happens in int64 microseconds (Arrow-native —
+    pandas group hops lose int64 > 2^53 and ns-resolution columns bucket
+    1000x too fine)."""
+
+    def __init__(self, gap_minutes: int):
+        self.gap_us = int(gap_minutes) * 60 * 1_000_000
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        ts_type = pa.timestamp("us")  # ns inputs normalize to us
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_ts": pa.array([], ts_type),
+                    "end_ts": pa.array([], ts_type),
+                }
             )
-            out.insert(0, "user_id", g["user_id"].iloc[0])
-            return out
+        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = (
+            pc.cast(pc.cast(g["ts"], pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((ev, ts_us, user))
+        u, t = user[order], ts_us[order]
+        new = np.ones(u.size, dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > self.gap_us)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, u.size))
+        # per-user session index: global session ordinal minus the ordinal
+        # of the user's first session
+        sess_ord = np.arange(starts.size)
+        newuser = np.ones(starts.size, dtype=bool)
+        su = u[starts]
+        newuser[1:] = su[1:] != su[:-1]
+        first_ord = sess_ord[newuser]
+        user_seg = np.cumsum(newuser) - 1
+        sid = sess_ord - first_ord[user_seg]
+        start_ts = t[starts]
+        end_ts = t[starts + counts - 1]
+        return pa.table(
+            {
+                "user_id": pa.array(su),
+                "session_id": pa.array(sid.astype(np.int64)),
+                "n_events": pa.array(counts.astype(np.int64)),
+                "start_ts": pa.array(start_ts).cast(ts_type),
+                "end_ts": pa.array(end_ts).cast(ts_type),
+            }
+        )
+
+
+def sessionize(events: ray.data.Dataset, gap_minutes: int = 30) -> ray.data.Dataset:
+    """(user_id, session_id, n_events, start_ts, end_ts): session windows
+    per user, new session when the gap to the previous event exceeds the
+    threshold.
+
+    Scale shape: one shuffle on a ~256-way coarse hash of user_id (each
+    coarse group holds COMPLETE users), then one vectorized
+    lexsort-over-(user, ts) + gap-cumsum call per coarse group — never one
+    Python call per user."""
+    from .dedup import _CoarseKey
 
     return (
         events.select_columns(["user_id", "event_id", "ts"])
-        .groupby("user_id")
-        .map_groups(named(_Sessions()), batch_format="pandas")
+        .map_batches(_CoarseKey(["user_id"]), batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(named(_GroupedSessions(gap_minutes)), batch_format="pyarrow")
     )
 
 

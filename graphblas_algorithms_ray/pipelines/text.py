@@ -382,13 +382,33 @@ class _DocTermCounts:
         )
 
 
-class _TfidfTopK:
+class _GroupedTfidfTopK:
+    """Coarse group (~thousands of COMPLETE doc_id groups per call, via
+    `_CoarseKey`) → per-doc top-k terms by (tfidf desc, word asc), one
+    lexsort + segment-rank per call instead of one Python call per
+    document (the r3 scale-killer: 1e9 docs = 1e9 interpreter
+    round-trips)."""
+
     def __init__(self, k: int):
         self.k = k
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["tfidf", "word"], ascending=[False, True], kind="stable")
-        return g.head(self.k)[["doc_id", "word", "tf", "tfidf"]]
+    def __call__(self, g: pa.Table) -> pa.Table:
+        cols = ["doc_id", "word", "tf", "tfidf"]
+        if g.num_rows == 0:
+            return g.select(cols) if set(cols) <= set(g.column_names) else g
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfidf = g["tfidf"].to_numpy(zero_copy_only=False)
+        # fixed-width unicode: C-speed lexsort (object dtype is Python-speed)
+        word = g["word"].to_numpy(zero_copy_only=False).astype("U")
+        order = np.lexsort((word, -tfidf, doc))
+        d = doc[order]
+        newdoc = np.ones(d.size, dtype=bool)
+        newdoc[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(newdoc)
+        counts = np.diff(np.append(starts, d.size))
+        rank = np.arange(d.size) - np.repeat(starts, counts)
+        keep = order[rank < self.k]
+        return g.take(pa.array(keep)).select(cols)
 
 
 def tfidf_topk(docs: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
@@ -399,7 +419,9 @@ def tfidf_topk(docs: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
     span batches); document frequencies pre-combine per batch before one
     vocab-sized groupby; the df table joins back in via the bucketed
     lookup_join (both sides distributed — no driver vocab dict); top-k
-    runs per doc-id group (per-doc term lists are tiny)."""
+    finalizes over ~256 coarse hash groups of complete doc_id groups
+    (one vectorized lexsort-segment call per coarse group, never one
+    Python call per document)."""
     import pyarrow.compute as pc
 
     from .._util import named
@@ -446,8 +468,12 @@ def tfidf_topk(docs: ray.data.Dataset, k: int = 3) -> ray.data.Dataset:
         )
 
     scored = joined.map_batches(_score, batch_format="pyarrow")
-    return scored.groupby("doc_id").map_groups(
-        named(_TfidfTopK(k)), batch_format="pandas"
+    from .dedup import _CoarseKey
+
+    return (
+        scored.map_batches(_CoarseKey(["doc_id"]), batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(named(_GroupedTfidfTopK(k)), batch_format="pyarrow")
     )
 
 
