@@ -268,16 +268,32 @@ def embedding_neardup(
     *,
     id_col: str = "vec_id",
     round_to: int | None = 6,
+    max_exact_rows: int = 200_000,
 ) -> ray.data.Dataset:
-    """(id_a, id_b, sim): all unordered pairs with cosine >= threshold —
-    the exact brute-force baseline. The normalized matrix is broadcast once
-    (ray.put, zero-copy into every map task); each batch does one numpy
-    matmul against it and emits only the matches, so shuffle volume is
-    O(matches) while compute is O(N^2/P) spread across the pool.
+    """(id_a, id_b, sim): all unordered pairs with cosine >= threshold.
 
-    The driver holds the N x d float64 matrix once to build the broadcast —
-    fine to ~1e8 x 64 doubles; past that (or past all-pairs compute budget)
-    use embedding_neardup_lsh, which only compares within LSH bands."""
+    Under ``max_exact_rows`` this is the exact brute-force baseline: the
+    normalized matrix is broadcast once (ray.put, zero-copy into every map
+    task); each batch does one numpy matmul against it and emits only the
+    matches, so shuffle volume is O(matches) while compute is O(N^2/P)
+    spread across the pool. Above it the call auto-routes to
+    embedding_neardup_lsh (ADVICE r3: the default a user reaches for first
+    must not materialize the whole table on the driver) — every emitted
+    pair is still exact-verified in-bucket, but recall is the banded-LSH
+    probability rather than 1.0. Set max_exact_rows=0 to always take the
+    LSH path, or a huge value to force exact."""
+    n_rows = embeddings.count()
+    if n_rows > max_exact_rows:
+        dim = len(embeddings.take(1)[0]["embedding"])
+        routed = embeddings.select_columns([id_col, "embedding"])
+        if id_col != "vec_id":
+            routed = routed.map_batches(
+                lambda t: t.rename_columns(["vec_id", "embedding"]),
+                batch_format="pyarrow",
+            )
+        return embedding_neardup_lsh(
+            routed, threshold, dim=dim, round_to=round_to
+        )
     rows = embeddings.select_columns([id_col, "embedding"]).take_all()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
@@ -322,25 +338,61 @@ class _BandSig:
 
 
 class _BucketPairs:
-    def __init__(self, threshold, round_to):
-        self.t, self.r = threshold, round_to
+    """All verified pairs within one LSH bucket, memory- and compute-safe
+    for degenerate buckets (ADVICE r3: boilerplate corpora cluster
+    near-identical vectors into ONE bucket — an uncapped n x n cosine
+    matrix OOMs the worker):
+
+    - representatives capped at ``cap`` (lowest ids, deterministic); the
+      truncation is counted on the class and logged once per oversized
+      bucket — never rely on uniform bucket fill.
+    - the similarity matrix is computed in row blocks of ``block``
+      (memory O(block x n), never O(n^2))."""
+
+    truncated_buckets = 0  # per-actor counter, observable in tests
+
+    def __init__(self, threshold, round_to, cap: int = 4096, block: int = 1024):
+        self.t, self.r, self.cap, self.block = threshold, round_to, cap, block
 
     def __call__(self, g: pa.Table) -> pa.Table:
         ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size > self.cap:
+            import logging
+
+            type(self).truncated_buckets += 1
+            logging.getLogger(__name__).warning(
+                "LSH bucket of %d vectors truncated to %d representatives",
+                ids.size,
+                self.cap,
+            )
+            keep = np.sort(np.argsort(ids)[: self.cap])
+            g = g.take(pa.array(keep))
+            ids = ids[keep]
         m = _to_matrix(g["embedding"])
         n = np.linalg.norm(m, axis=1, keepdims=True)
         n[n == 0] = 1.0
         mn = m / n
-        sims = mn @ mn.T
-        if self.r is not None:
-            sims = np.round(sims, self.r)
-        mask = (sims >= self.t) & (ids[:, None] < ids[None, :])
-        ai, bj = np.nonzero(mask)
+        out_a, out_b, out_s = [], [], []
+        for s0 in range(0, ids.size, self.block):
+            s1 = min(s0 + self.block, ids.size)
+            sims = mn[s0:s1] @ mn.T  # (block, n)
+            if self.r is not None:
+                sims = np.round(sims, self.r)
+            mask = (sims >= self.t) & (ids[s0:s1, None] < ids[None, :])
+            ai, bj = np.nonzero(mask)
+            out_a.append(ids[s0 + ai])
+            out_b.append(ids[bj])
+            out_s.append(sims[ai, bj])
+        cat = (
+            lambda parts, typ: pa.array(np.concatenate(parts))
+            if parts
+            else pa.array([], typ)
+        )
         return pa.table(
             {
-                "id_a": pa.array(ids[ai]),
-                "id_b": pa.array(ids[bj]),
-                "sim": pa.array(sims[ai, bj]),
+                "id_a": cat(out_a, pa.int64()),
+                "id_b": cat(out_b, pa.int64()),
+                "sim": cat(out_s, pa.float64()),
             }
         )
 

@@ -175,3 +175,61 @@ def test_embedding_neardup_lsh_recall():
     assert exact, "fixture must produce near-dup pairs"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_bucket_pairs_degenerate_bucket_capped():
+    # ADVICE r3: one hot LSH bucket of near-identical vectors must not go
+    # O(n^2) memory — representatives cap + row-blocked similarity matrix
+    import numpy as np
+    import pyarrow as pa
+
+    from graphblas_algorithms_ray.pipelines.ann import _BucketPairs
+
+    rng = np.random.default_rng(3)
+    n, cap = 2000, 256
+    base = rng.normal(size=16)
+    m = base + rng.normal(scale=1e-4, size=(n, 16))  # all near-identical
+    g = pa.table(
+        {
+            "bucket": pa.array(np.zeros(n, np.int64)),
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m)),
+        }
+    )
+    bp = _BucketPairs(0.9, 6, cap=cap, block=100)
+    before = _BucketPairs.truncated_buckets
+    out = bp(g)
+    assert _BucketPairs.truncated_buckets == before + 1
+    ids_a = out["id_a"].to_numpy()
+    ids_b = out["id_b"].to_numpy()
+    # only the cap lowest ids survive as representatives
+    assert out.num_rows == cap * (cap - 1) // 2
+    assert ids_a.max() < cap and ids_b.max() < cap
+    assert (ids_a < ids_b).all()
+    assert (out["sim"].to_numpy() >= 0.9).all()
+    # small bucket: unchanged exact semantics, blocked == unblocked
+    small = g.slice(0, 50)
+    full = _BucketPairs(0.9, 6)(small)
+    blocked = _BucketPairs(0.9, 6, block=7)(small)
+    assert full.equals(blocked)
+
+
+def test_embedding_neardup_autoroutes_to_lsh():
+    import numpy as np
+    import ray.data
+
+    from graphblas_algorithms_ray.pipelines.ann import embedding_neardup
+
+    rng = np.random.default_rng(11)
+    m = rng.normal(size=(400, 64))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": list(m[i])} for i in range(400)]
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(ds, threshold=0.8).take_all()
+    }
+    routed_rows = embedding_neardup(ds, threshold=0.8, max_exact_rows=100).take_all()
+    routed = {(r["id_a"], r["id_b"]) for r in routed_rows}
+    # LSH precision is exact: every routed pair is a true pair
+    assert routed <= exact
