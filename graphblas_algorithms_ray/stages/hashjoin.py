@@ -114,14 +114,22 @@ def lookup_join(
     dim_val: str,
     out_col: str,
     *,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     drop_missing: bool = True,
     fact_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """fact ⋈ dim on fact[key_col] == dim[dim_key]; appends out_col.
 
+    ``num_buckets`` defaults to max(64, 4 x cluster CPUs) so the join's
+    reduce-side parallelism scales with the cluster instead of capping at
+    a constant (ADVICE r3: a fixed 64 means ~1.6 TB per bucket at 100 TB);
+    callers with a known fact-block count can pass it explicitly.
+
     Pass ``fact_schema`` when the fact side's schema cannot be inferred
     lazily (e.g. a groupby output whose sampled blocks are all empty)."""
+    if num_buckets is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 16)) if ray.is_initialized() else 16
+        num_buckets = max(64, 4 * ncpu)
     if fact_schema is None:
         fact_schema = _arrow_schema(fact)
     dim_schema = _arrow_schema(dim)

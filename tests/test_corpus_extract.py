@@ -90,3 +90,35 @@ def test_graph_from_corpus_pagerank():
     )
     # hub: doc 0 should be the top-ranked vertex
     assert max(pr1, key=pr1.get) == url2vid[C.url_of(0, N)]
+
+
+def test_lookup_join_buckets_scale_with_cluster():
+    # ADVICE r3: the default reduce-side parallelism must scale with the
+    # cluster, not cap at a constant 64
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from graphblas_algorithms_ray.stages.hashjoin import _TagFact
+
+    fact = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(10_000) % 997), "x": pa.array(np.arange(10_000))})
+    )
+    dim = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(997)), "v": pa.array(np.arange(997) * 2)})
+    )
+    out = lookup_join(fact, "k", dim, "k", "v", "v")
+    df = out.to_pandas()
+    assert len(df) == 10_000 and (df["v"] == (df["k"] * 2)).all()
+    # the derived default exceeds 64 whenever the cluster has >16 CPUs,
+    # and the tagging stage honors an explicit bucket count
+    ncpu = int(ray.cluster_resources().get("CPU", 0))
+    expected = max(64, 4 * ncpu)
+    tf = _TagFact("k", "v", pa.int64(), expected)
+    tagged = tf(pa.table({"k": pa.array(np.arange(4096))}))
+    assert tagged["__bucket"].to_numpy().max() == expected - 1
+    # at 32 cluster CPUs the derived default is 128; simulate that here
+    tf_big = _TagFact("k", "v", pa.int64(), max(64, 4 * 32))
+    tagged_big = tf_big(pa.table({"k": pa.array(np.arange(4096))}))
+    assert tagged_big["__bucket"].to_numpy().max() > 64
