@@ -326,7 +326,11 @@ def connected_components(
         pool = DensePool(
             P,
             _CCDenseProg(g.csr_refs, n, P, hub=hub_split(g), resume_refs=resume_refs),
-            num_actors=dense_actors_for(g.m),
+            # size by the SEMANTIC input (directed m): symmetrizing merely
+            # stores each edge twice, and sizing by 2m would spawn a
+            # second mesh one pow2 step above the one pagerank already
+            # warmed (the r3 CC-stage regression)
+            num_actors=dense_actors_for(G.m),
         )
         lineage = {"algo": "connected_components", "graph": g.workdir, "n": n, "m": g.m}
         it = start_it

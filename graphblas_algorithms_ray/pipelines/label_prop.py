@@ -278,7 +278,9 @@ def label_propagation(G, max_iter: int = 30, chain: int = 5, executor: str = "da
         from ..stages.bsp_actors import DensePool, StatBelow, dense_actors_for
 
         pool = DensePool(
-            P, _LPADenseProg(g.csr_refs, n, P), num_actors=dense_actors_for(g.m)
+            # sized by the semantic (directed) m so CC/LPA/pagerank share
+            # one cached mesh instead of spawning a 2m-sized sibling
+            P, _LPADenseProg(g.csr_refs, n, P), num_actors=dense_actors_for(G.m)
         )
         it = 0
         while it < max_iter:

@@ -80,6 +80,24 @@ def _swap_batch(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+@ray.remote
+def _csr_edges_both(csr, weighted: bool) -> pa.Table:
+    """Edge table with BOTH directions, reconstructed from a CSR shard
+    already pinned in plasma — symmetrize without re-reading the edge
+    parquet or launching a Ray Data union+materialize job (the r3 CC
+    stage's cold-symmetrize cost)."""
+    src = np.repeat(csr["srcs"], csr["row_cnt"])
+    dst = csr["dst"]
+    cols = {
+        "src": np.concatenate([src, dst]),
+        "dst": np.concatenate([dst, src]),
+    }
+    if weighted:
+        w = csr["weight"]
+        cols["weight"] = np.concatenate([w, w])
+    return pa.table(cols)
+
+
 class _AddPart:
     """src % P partition column (vectorized) — kept for callers that want an
     explicit Ray Data shuffle instead of the manual hash exchange."""
@@ -366,25 +384,39 @@ class Graph:
     def _ensure_built(self):
         if self._built:
             return
-        ds = _as_dataset(self._edges_input, self.weighted)
-        if self.n is None:
-            agg = ds.aggregate(
-                ray.data.aggregate.Max("src", alias_name="ms"),
-                ray.data.aggregate.Max("dst", alias_name="md"),
-            )
-            ms, md = agg.get("ms"), agg.get("md")
-            if ms is None:
-                raise ValueError("empty graph with no n given (PointlessConcept)")
-            self.n = int(max(ms, md)) + 1
-        if not self.directed:
-            ds = ds.union(ds.map_batches(_swap_batch, batch_format="pyarrow"))
+        pre = self._edges_input
+        if (
+            isinstance(pre, list)
+            and pre
+            and all(isinstance(b, ray.ObjectRef) for b in pre)
+        ):
+            # pre-materialized Arrow block refs (to_undirected's CSR-derived
+            # blocks): no Dataset job at all before the hash shuffle.
+            # Blocks must already contain both directions when
+            # directed=False (see _csr_edges_both); n must be given.
+            if self.n is None:
+                raise ValueError("block-ref input requires n")
+            blocks = list(pre)
+        else:
+            ds = _as_dataset(pre, self.weighted)
+            if self.n is None:
+                agg = ds.aggregate(
+                    ray.data.aggregate.Max("src", alias_name="ms"),
+                    ray.data.aggregate.Max("dst", alias_name="md"),
+                )
+                ms, md = agg.get("ms"), agg.get("md")
+                if ms is None:
+                    raise ValueError("empty graph with no n given (PointlessConcept)")
+                self.n = int(max(ms, md)) + 1
+            if not self.directed:
+                ds = ds.union(ds.map_batches(_swap_batch, batch_format="pyarrow"))
+            blocks = ds.materialize().to_arrow_refs()
 
         edir = os.path.join(self.workdir, "edges")
         os.makedirs(edir, exist_ok=True)
         P = self.num_parts
         # manual hash shuffle: split every block into per-part fragments,
         # build each part's CSR from exactly its fragments (no sort pass)
-        blocks = ds.materialize().to_arrow_refs()
         frag_refs = [
             _split_block.options(num_returns=P if P > 1 else 1).remote(b, P)
             for b in blocks
@@ -454,8 +486,15 @@ class Graph:
             return self
         if "undirected" not in self._cache:
             self._ensure_built()
+            # symmetrized edge blocks straight from the pinned CSR shards
+            # (one tiny task per part; both directions emitted) — skips the
+            # edges-parquet re-read and the union+materialize Dataset job
+            blocks = [
+                _csr_edges_both.remote(ref, self.weighted)
+                for ref in self.csr_refs
+            ]
             g = Graph(
-                self.edges_ds(),
+                blocks,
                 n=self.n,
                 directed=False,
                 weighted=self.weighted,
