@@ -178,3 +178,15 @@ def modularity_matrix(G):
     the stored arc count ``G.m``."""
     G._ensure_built()
     return adjacency_matrix(G), G.degrees_ds("out"), G.m
+
+
+def directed_modularity_matrix(G):
+    """B = A - k_out k_inᵀ / m (reference
+    ``linalg/modularitymatrix.py:19-37``), factored like
+    ``modularity_matrix``: returns (adjacency Dataset, out-degree Dataset,
+    in-degree Dataset, m) with m = Σ k_out = stored arc count — the dense
+    rank-1 term k_out·k_inᵀ is never materialized."""
+    if not G.directed:
+        raise ValueError("directed_modularity_matrix is for directed graphs")
+    G._ensure_built()
+    return adjacency_matrix(G), G.degrees_ds("out"), G.degrees_ds("in"), G.m

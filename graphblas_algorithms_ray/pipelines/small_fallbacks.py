@@ -66,15 +66,30 @@ def google_matrix(
 def floyd_warshall(G) -> ray.data.Dataset:
     """All-pairs shortest path distances via FW in one Ray task; Dataset
     (src, dst, dist) of FINITE distances. Small graphs only."""
+    return _floyd_warshall_impl(G, compute_predecessors=False)[1]
+
+
+def floyd_warshall_predecessor_and_distance(G):
+    """(pred Dataset, dist Dataset): FW with predecessor tracking
+    (reference ``shortest_paths/dense.py:82-111``'s
+    ``compute_predecessors=True`` variant). pred rows are the finite
+    OFF-diagonal pairs ``(src, dst, pred)``; dist matches
+    ``floyd_warshall``. Ties keep the earlier predecessor (strict-<
+    update, the reference's ``binary.lt`` mask). Small graphs only."""
+    return _floyd_warshall_impl(G, compute_predecessors=True)
+
+
+def _floyd_warshall_impl(G, *, compute_predecessors: bool):
     G._ensure_built()
     n = G.n
     if n > _DENSE_LIMIT // 2:
         raise NotImplementedError(f"floyd_warshall is O(N^3); n={n} too large")
 
-    @ray.remote
-    def _fw(edge_tables, n, weighted):
+    @ray.remote(num_returns=2)
+    def _fw(edge_tables, n, weighted, with_pred):
         D = np.full((n, n), np.inf)
         np.fill_diagonal(D, 0.0)
+        P = np.full((n, n), -1, dtype=np.int64)
         for t in edge_tables:
             s = t["src"].to_numpy(zero_copy_only=False)
             d = t["dst"].to_numpy(zero_copy_only=False)
@@ -84,17 +99,37 @@ def floyd_warshall(G) -> ray.data.Dataset:
                 else np.ones(s.size)
             )
             np.minimum.at(D, (s, d), w)
+            P[s, d] = s  # direct edge: predecessor of d is s regardless
         for kpivot in range(n):
-            np.minimum(D, D[:, kpivot : kpivot + 1] + D[kpivot : kpivot + 1, :], out=D)
+            alt = D[:, kpivot : kpivot + 1] + D[kpivot : kpivot + 1, :]
+            if with_pred:
+                improve = alt < D
+                D[improve] = alt[improve]
+                P[improve] = np.broadcast_to(P[kpivot : kpivot + 1, :], (n, n))[
+                    improve
+                ]
+            else:
+                np.minimum(D, alt, out=D)
         s, d = np.nonzero(np.isfinite(D))
-        return pa.table(
+        dist = pa.table(
             {
                 "src": pa.array(s.astype(np.int64)),
                 "dst": pa.array(d.astype(np.int64)),
                 "dist": pa.array(D[s, d]),
             }
         )
+        off = (P[s, d] >= 0) & (s != d)
+        pred = pa.table(
+            {
+                "src": pa.array(s[off].astype(np.int64)),
+                "dst": pa.array(d[off].astype(np.int64)),
+                "pred": pa.array(P[s, d][off]),
+            }
+        )
+        return pred, dist
 
     refs = G.edges_ds().to_arrow_refs()
     tables = [t for t in ray.get(refs) if t.num_rows]
-    return ray.data.from_arrow_refs([_fw.remote(tables, n, G.weighted)])
+    pred_ref, dist_ref = _fw.remote(tables, n, G.weighted, compute_predecessors)
+    pred_ds = ray.data.from_arrow_refs([pred_ref]) if compute_predecessors else None
+    return pred_ds, ray.data.from_arrow_refs([dist_ref])

@@ -81,3 +81,75 @@ def test_floyd_warshall():
                 assert abs(got[(s, d)] - dist) < 1e-9
             else:
                 assert (s, d) not in got
+
+
+def test_floyd_warshall_predecessor_and_distance():
+    # reference shortest_paths/dense.py:82-111 (compute_predecessors=True)
+    from graphblas_algorithms_ray.pipelines.small_fallbacks import (
+        floyd_warshall_predecessor_and_distance,
+    )
+
+    rng = np.random.RandomState(5)
+    G = nx.gnp_random_graph(22, 0.16, seed=5, directed=True)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.randint(1, 9))
+    g = Graph.from_networkx(G, weighted=True, num_parts=3)
+    pred_ds, dist_ds = floyd_warshall_predecessor_and_distance(g)
+    dist = {
+        (int(r["src"]), int(r["dst"])): r["dist"]
+        for r in dist_ds.take_all()
+    }
+    pred = {
+        (int(r["src"]), int(r["dst"])): int(r["pred"])
+        for r in pred_ds.take_all()
+    }
+    exp_pred, exp_dist = nx.floyd_warshall_predecessor_and_distance(G)
+    for s in G.nodes():
+        for d, dd in exp_dist[s].items():
+            if np.isfinite(dd):
+                assert abs(dist[(s, d)] - dd) < 1e-9
+            else:
+                assert (s, d) not in dist
+    # predecessor keys match nx exactly; values may differ under ties, so
+    # verify structurally: pred is a real in-neighbor of d on an optimal path
+    exp_keys = {
+        (s, d) for s in exp_pred for d in exp_pred[s] if d != s
+    }
+    assert set(pred) == exp_keys
+    for (s, d), p in pred.items():
+        assert G.has_edge(p, d)
+        assert abs(exp_dist[s][p] + G[p][d]["weight"] - exp_dist[s][d]) < 1e-9
+    # unweighted undirected graph too
+    U = nx.gnp_random_graph(18, 0.12, seed=7)
+    gu = Graph.from_networkx(U, num_parts=2)
+    pred_ds, dist_ds = floyd_warshall_predecessor_and_distance(gu)
+    exp_pred, exp_dist = nx.floyd_warshall_predecessor_and_distance(U)
+    dist = {(int(r["src"]), int(r["dst"])): r["dist"] for r in dist_ds.take_all()}
+    for s in U.nodes():
+        for d, dd in exp_dist[s].items():
+            if np.isfinite(dd):
+                assert dist[(s, d)] == dd
+
+
+def test_directed_modularity_matrix_factored():
+    # reference linalg/modularitymatrix.py:19-37
+    from graphblas_algorithms_ray.pipelines.linalg import (
+        directed_modularity_matrix,
+    )
+
+    G = nx.gnp_random_graph(14, 0.25, seed=9, directed=True)
+    g = Graph.from_networkx(G, num_parts=3)
+    A_ds, kout_ds, kin_ds, m = directed_modularity_matrix(g)
+    A = np.zeros((14, 14))
+    for r in A_ds.take_all():
+        A[int(r["row"]), int(r["col"])] += r["value"]
+    kout = kout_ds.to_pandas().sort_values("v")["degree"].values.astype(float)
+    kin = kin_ds.to_pandas().sort_values("v")["degree"].values.astype(float)
+    B = A - np.outer(kout, kin) / m
+    A_nx = nx.to_numpy_array(G)
+    exp = A_nx - np.outer(A_nx.sum(axis=1), A_nx.sum(axis=0)) / A_nx.sum()
+    np.testing.assert_allclose(B, exp, atol=1e-12)
+    import pytest
+
+    with pytest.raises(ValueError):
+        directed_modularity_matrix(Graph.from_networkx(nx.path_graph(4)))
