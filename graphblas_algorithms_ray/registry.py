@@ -51,6 +51,7 @@ from .pipelines.label_prop import label_propagation
 from .pipelines.linalg import (
     adjacency_matrix,
     bethe_hessian_matrix,
+    directed_modularity_matrix,
     laplacian_matrix,
     modularity_matrix,
     normalized_laplacian_matrix,
@@ -94,7 +95,11 @@ from .pipelines.shortest_paths import (
     bellman_ford_path_lengths,
     negative_edge_cycle,
 )
-from .pipelines.small_fallbacks import floyd_warshall, google_matrix
+from .pipelines.small_fallbacks import (
+    floyd_warshall,
+    floyd_warshall_predecessor_and_distance,
+    google_matrix,
+)
 from .pipelines.squares import square_clustering
 from .pipelines.structure import (
     community_edge_counts,
@@ -196,6 +201,7 @@ ALGORITHMS = {
     "bellman_ford_path": bellman_ford_path,
     "negative_edge_cycle": negative_edge_cycle,
     "floyd_warshall": floyd_warshall,
+    "floyd_warshall_predecessor_and_distance": floyd_warshall_predecessor_and_distance,
     # boundary / cuts
     "edge_boundary": edge_boundary,
     "node_boundary": node_boundary,
@@ -243,6 +249,7 @@ ALGORITHMS = {
     "normalized_laplacian_matrix": normalized_laplacian_matrix,
     "bethe_hessian_matrix": bethe_hessian_matrix,
     "modularity_matrix": modularity_matrix,
+    "directed_modularity_matrix": directed_modularity_matrix,
     # training-data pipeline ops
     "exact_dedup": exact_dedup,
     "dedup_keep_first": dedup_keep_first,
