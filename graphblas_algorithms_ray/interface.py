@@ -81,10 +81,24 @@ def _id_of(g: Graph, k):
 
 
 def _map_keys(g: Graph, d: dict) -> dict:
+    """Map internal ids → nx labels, in nx NODE ORDER: ids were assigned by
+    enumerate(graph.nodes()) in convert_from_nx, so ascending id == nx
+    insertion order. nx's own tests compare list(result.values()), which
+    makes dict order part of the API (found by the borrowed nx suite)."""
     keys = getattr(g, "_id_to_key", None)
     if keys is None:
-        return d
-    return {keys[i]: v for i, v in d.items()}
+        return {i: d[i] for i in sorted(d)}
+    return {keys[i]: d[i] for i in range(len(keys)) if i in d}
+
+
+def _num_nodes(graph) -> int:
+    """Node count for either input kind: nx graphs (direct calls) or
+    engine Graphs (nx test mode converts first, then calls the backend)."""
+    if isinstance(graph, Graph):
+        if graph.n is None:
+            graph._ensure_built()
+        return graph.n
+    return graph.number_of_nodes()
 
 
 def _map_dict_in(g: Graph, d: dict | None) -> dict | None:
@@ -95,6 +109,8 @@ def _map_dict_in(g: Graph, d: dict | None) -> dict | None:
 
 def _vertex_dict(g: Graph, ds, col: str, cast=float) -> dict:
     df = ds.to_pandas()
+    if len(df) == 0:  # all-empty blocks can drop columns entirely
+        return {}
     return _map_keys(g, {int(r): cast(x) for r, x in zip(df["v"], df[col])})
 
 
@@ -169,36 +185,50 @@ class Dispatcher:
         weight="weight",
         dangling=None,
     ):
+        from .stages.fixpoint import ConvergenceFailure
         from .pipelines.pagerank import pagerank
 
+        if _num_nodes(graph) == 0:
+            return {}  # nx parity
         g = convert_from_nx(graph, None)
-        res = pagerank(
-            g,
-            alpha=alpha,
-            personalization=_map_dict_in(g, personalization),
-            max_iter=max_iter,
-            tol=tol,
-            nstart=_map_dict_in(g, nstart),
-            dangling=_map_dict_in(g, dangling),
-        )
-        return _vertex_dict(g, res, "pagerank")
+        try:
+            res = pagerank(
+                g,
+                alpha=alpha,
+                personalization=_map_dict_in(g, personalization),
+                max_iter=max_iter,
+                tol=tol,
+                nstart=_map_dict_in(g, nstart),
+                dangling=_map_dict_in(g, dangling),
+            )
+            return _vertex_dict(g, res, "pagerank")
+        except ConvergenceFailure as e:
+            raise nx.PowerIterationFailedConvergence(max_iter) from e
 
     @staticmethod
     def hits(graph, max_iter=100, tol=1e-8, nstart=None, normalized=True):
-        from .pipelines.link_analysis import hits
+        from .pipelines.link_analysis import ConvergenceFailure, hits
 
+        if _num_nodes(graph) == 0:
+            return {}, {}  # nx parity
         g = convert_from_nx(graph, None)
-        h, a = hits(g, max_iter=max_iter, tol=tol, normalized=normalized)
+        try:
+            h, a = hits(g, max_iter=max_iter, tol=tol, normalized=normalized)
+        except ConvergenceFailure as e:
+            raise nx.PowerIterationFailedConvergence(max_iter) from e
         return _vertex_dict(g, h, "hub"), _vertex_dict(g, a, "authority")
 
     @staticmethod
     def eigenvector_centrality(graph, max_iter=100, tol=1e-6, nstart=None, weight=None):
-        from .pipelines.link_analysis import eigenvector_centrality
+        from .pipelines.link_analysis import ConvergenceFailure, eigenvector_centrality
 
         g = convert_from_nx(graph, weight)
-        res = eigenvector_centrality(
-            g, max_iter=max_iter, tol=tol, nstart=_map_dict_in(g, nstart)
-        )
+        try:
+            res = eigenvector_centrality(
+                g, max_iter=max_iter, tol=tol, nstart=_map_dict_in(g, nstart)
+            )
+        except ConvergenceFailure as e:
+            raise nx.PowerIterationFailedConvergence(max_iter) from e
         return _vertex_dict(g, res, "centrality")
 
     @staticmethod
@@ -206,14 +236,17 @@ class Dispatcher:
         graph, alpha=0.1, beta=1.0, max_iter=1000, tol=1e-6, nstart=None,
         normalized=True, weight=None,
     ):
-        from .pipelines.link_analysis import katz_centrality
+        from .pipelines.link_analysis import ConvergenceFailure, katz_centrality
 
         g = convert_from_nx(graph, weight)
         b = _map_dict_in(g, beta) if isinstance(beta, dict) else beta
-        res = katz_centrality(
-            g, alpha=alpha, beta=b, max_iter=max_iter, tol=tol,
-            nstart=_map_dict_in(g, nstart), normalized=normalized,
-        )
+        try:
+            res = katz_centrality(
+                g, alpha=alpha, beta=b, max_iter=max_iter, tol=tol,
+                nstart=_map_dict_in(g, nstart), normalized=normalized,
+            )
+        except ConvergenceFailure as e:
+            raise nx.PowerIterationFailedConvergence(max_iter) from e
         return _vertex_dict(g, res, "centrality")
 
     # -- degrees -------------------------------------------------------
@@ -295,14 +328,17 @@ class Dispatcher:
         from .pipelines.triangles import average_clustering
         from .pipelines.cluster_directed import average_clustering_directed
 
-        g = convert_from_nx(graph, weight)
-        if g.directed:
-            return float(
-                average_clustering_directed(
-                    g, count_zeros=count_zeros, weighted=weight is not None
-                )
-            )
-        return float(average_clustering(g, count_zeros=count_zeros, weight=weight))
+        if _num_nodes(graph) == 0:
+            raise ZeroDivisionError  # nx parity (sum(c)/len(c) on empty)
+        # nx reduces the per-node dict on the driver (sum(c)/len(c) in node
+        # order, count_zeros dropping only |v| == 0); reproducing that here
+        # keeps FLOAT-EXACT parity — nx's own tests compare with `==`. The
+        # distributed aggregates stay available via pipelines.triangles.
+        cl = Dispatcher.clustering(
+            graph, nodes=list(nodes) if nodes is not None else None, weight=weight
+        )
+        vals = [v for v in cl.values() if count_zeros or abs(v) > 0]
+        return float(sum(vals) / len(vals))
 
     @staticmethod
     def square_clustering(graph, nodes=None):
@@ -321,16 +357,22 @@ class Dispatcher:
         from .pipelines.core import generalized_degree
         from .pipelines.triangles import single_generalized_degree
 
+        if _num_nodes(graph) == 0:
+            return {}
         g = convert_from_nx(graph, None)
         if nodes is not None and not isinstance(nodes, (list, set, tuple)):
             return single_generalized_degree(g, _id_of(g, nodes))
         df = generalized_degree(g).to_pandas()
         out: dict = {}
-        for v, tc, ne in zip(df["v"], df["tri_count"], df["n_edges"]):
-            out.setdefault(_key_of(g, int(v)), {})[int(tc)] = int(ne)
+        if len(df):
+            for v, tc, ne in zip(df["v"], df["tri_count"], df["n_edges"]):
+                out.setdefault(int(v), {})[int(tc)] = int(ne)
         if nodes is not None:
-            out = {k: out.get(k, {}) for k in nodes}
-        return out
+            return {k: out.get(_id_of(g, k), {}) for k in nodes}
+        keys = getattr(g, "_id_to_key", None)
+        if keys is None:
+            return {i: out.get(i, {}) for i in sorted(out)}
+        return {keys[i]: out[i] for i in range(len(keys)) if i in out}
 
     @staticmethod
     def k_truss(graph, k):
@@ -353,12 +395,20 @@ class Dispatcher:
     def is_connected(graph):
         from .pipelines.components import is_connected
 
+        if _num_nodes(graph) == 0:
+            raise nx.NetworkXPointlessConcept(
+                "Connectivity is undefined for the null graph."
+            )
         return bool(is_connected(convert_from_nx(graph, None)))
 
     @staticmethod
     def is_weakly_connected(graph):
         from .pipelines.components import is_weakly_connected
 
+        if _num_nodes(graph) == 0:
+            raise nx.NetworkXPointlessConcept(
+                "Connectivity is undefined for the null graph."
+            )
         return bool(is_weakly_connected(convert_from_nx(graph, None)))
 
     @staticmethod

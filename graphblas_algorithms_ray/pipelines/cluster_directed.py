@@ -209,11 +209,35 @@ def directed_triangle_products(G, weighted: bool = False) -> ray.data.Dataset:
     )
     fb._ensure_built()
     P = fb.num_parts
+    nn = fb.n
+
+    def _seed(t: pa.Table) -> pa.Table:
+        # one zero row per NONEMPTY part: forces every part group to exist
+        # so _SumF emits the full universe even when a part produced no
+        # wedges at all (triangle-free digraphs returned ZERO rows before —
+        # found by the borrowed nx test suite, TestDirectedClustering)
+        ks = [
+            int(k)
+            for k in t["id"].to_pylist()
+            if universe_size(int(k), nn, P) > 0
+        ]
+        return pa.table(
+            {
+                "part": pa.array(ks, pa.int32()),
+                "v": pa.array(ks, pa.int64()),  # k is in part k's universe
+                "c": pa.array([0.0] * len(ks), pa.float64()),
+            }
+        )
+
+    seed = ray.data.range(P, override_num_blocks=1).map_batches(
+        _seed, batch_format="pyarrow"
+    )
     counts = (
         ray.data.range(P, override_num_blocks=P)
         .map_batches(_WWedgeGen(fb.csr_refs, P), batch_format="pyarrow")
         .groupby("part")
         .map_groups(named(_WProbeCount(fb.csr_refs, fb.n, P)), batch_format="pyarrow")
+        .union(seed)
         .groupby("part")
         .map_groups(named(_SumF(fb.n, P)), batch_format="pyarrow")
     )
@@ -371,7 +395,9 @@ def single_clustering_directed(G, node, *, weighted: bool = False) -> float:
             )
             if weighted:
                 add = np.zeros(sel.size)
-                add[ok] = np.cbrt(np.asarray(w_ab) / max_w)
+                if w_ab is not None and ok.any():
+                    # w_ab is None when the probed shard has no edges
+                    add[ok] = np.cbrt(np.asarray(w_ab) / max_w)
                 buw[sel] += add
             else:
                 buw[sel] += ok.astype(np.float64)

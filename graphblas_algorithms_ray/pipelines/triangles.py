@@ -784,6 +784,8 @@ def triangles(G) -> ray.data.Dataset:
 
 def triangles_dict(G) -> dict:
     df = triangles(G).to_pandas()
+    if len(df) == 0:  # empty graph: all-empty blocks may drop columns
+        return {}
     return dict(zip(df["v"].astype(int), df["triangles"].astype(int)))
 
 

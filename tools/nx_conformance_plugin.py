@@ -1,0 +1,108 @@
+"""Pytest plugin: register the graphblas_ray backend for NetworkX's OWN test
+suite without a pip install (the sandbox has no network; the pyproject
+entry points are only visible to importlib.metadata after an install).
+
+This is the engine's analog of the reference's run_nx_tests.sh flow
+(reference ``run_nx_tests.sh:1-5``): networkx's conftest reads
+NETWORKX_TEST_BACKEND, flips dispatching into test mode, converts every
+test's graphs through Dispatcher.convert_from_nx and runs the backend
+implementation where one exists (NETWORKX_FALLBACK_TO_NX=1 lets the rest
+run on networkx itself, so only OUR surface is under test).
+
+Usage (cwd must be /root/repo so imports resolve inside Ray workers):
+
+  NETWORKX_TEST_BACKEND=graphblas_ray NETWORKX_FALLBACK_TO_NX=1 \
+  python -m pytest --pyargs networkx.algorithms.tests.test_cluster \
+      -p tools.nx_conformance_plugin -q
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _stub_scipy_sparray():
+    """networkx's test-mode dispatcher does `from scipy.sparse import
+    sparray` unconditionally; this container has no scipy. A module stub
+    exposing ONLY `sparray` (an empty class — isinstance() is then always
+    False, which is correct: no scipy objects can exist without scipy)
+    unblocks the dispatch path. Tests that genuinely use scipy fail
+    loudly at attribute access instead of skipping — acceptable for the
+    conformance subset, which avoids scipy-dependent modules."""
+    try:
+        import scipy  # noqa: F401
+
+        return
+    except ImportError:
+        pass
+    import types
+
+    scipy = types.ModuleType("scipy")
+    sparse = types.ModuleType("scipy.sparse")
+
+    class sparray:  # noqa: N801 — scipy's own casing
+        pass
+
+    sparse.sparray = sparray
+    scipy.sparse = sparse
+    sys.modules["scipy"] = scipy
+    sys.modules["scipy.sparse"] = sparse
+
+
+def pytest_configure(config):
+    _stub_scipy_sparray()
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=8,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import networkx as nx
+    from networkx.utils import backends as nxb
+
+    from graphblas_algorithms_ray.interface import Dispatcher
+
+    class _EP:  # entry-point stand-in (same .load() protocol)
+        name = "graphblas_ray"
+
+        def load(self):
+            return Dispatcher
+
+    nxb.backends["graphblas_ray"] = _EP()
+    nxb.backend_info.setdefault("graphblas_ray", {})
+    if "graphblas_ray" not in nx.config.backends:
+        nx.config.backends = nx.utils.Config(
+            graphblas_ray=nx.utils.Config(), **nx.config.backends
+        )
+
+
+def pytest_unconfigure(config):
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+def pytest_collection_modifyitems(config, items):
+    # when scipy is only our stub, tests that genuinely exercise scipy
+    # (named *scipy* — nx's importorskip would otherwise gate them) would
+    # fail at attribute access; skip them explicitly
+    import pytest
+
+    if "scipy" not in sys.modules or hasattr(sys.modules["scipy"], "__version__"):
+        return
+    skip = pytest.mark.skip(reason="scipy not installed (stubbed for dispatch only)")
+    # tests that call scipy-backed nx internals directly without "scipy"
+    # in their node id (test_hits_not_convergent calls _hits_scipy inline)
+    extra = {"test_hits_not_convergent"}
+    for item in items:
+        if "scipy" in item.nodeid.lower() or item.name in extra:
+            item.add_marker(skip)
