@@ -930,8 +930,10 @@ ORDER BY doc_id""",
   ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
 FROM documents GROUP BY lang ORDER BY lang""",
     "train_val_split": """SELECT doc_id,
-  CASE WHEN (doc_id * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT) THEN 'val'
-       WHEN (doc_id * 2654435761) % 4294967296 < CAST(0.2 * 4294967296 AS BIGINT) THEN 'test'
+  -- HUGEINT arithmetic: signed BIGINT would overflow for doc_id >= 2^32
+  -- and silently diverge from the engine's uint64 wraparound (ADVICE r3)
+  CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT) THEN 'val'
+       WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < CAST(0.2 * 4294967296 AS BIGINT) THEN 'test'
        ELSE 'train' END AS split
 FROM documents ORDER BY doc_id""",
     "top_docs_per_lang": """SELECT lang, doc_id, n_chars FROM (

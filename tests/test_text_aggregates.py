@@ -218,3 +218,28 @@ def test_assign_splits_deterministic_and_proportional():
     assert abs(frac["val"] - 0.1) < 0.02
     assert abs(frac["test"] - 0.1) < 0.02
     assert abs(frac["train"] - 0.8) < 0.02
+
+
+def test_assign_splits_large_ids_match_sql_oracle():
+    # ADVICE r3: signed BIGINT SQL overflowed for doc_id >= 2^32; the
+    # HUGEINT oracle must match the engine's uint64 wraparound exactly
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from graphblas_algorithms_ray.pipelines.text import assign_splits
+
+    ids = [0, 1, 2**31, 2**32 - 1, 2**32, 2**32 + 7, 2**40 + 123, 2**62 + 5]
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()), "text": [""] * len(ids)}))
+    got = {r["doc_id"]: r["split"] for r in assign_splits(ds).take_all()}
+    rows = duckdb.sql(
+        """SELECT doc_id,
+  CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT) THEN 'val'
+       WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < CAST(0.2 * 4294967296 AS BIGINT) THEN 'test'
+       ELSE 'train' END AS split
+FROM (SELECT unnest($ids) AS doc_id)""",
+        params={"ids": ids},
+    ).fetchall()
+    exp = {r[0]: r[1] for r in rows}
+    assert got == exp
