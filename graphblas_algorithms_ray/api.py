@@ -460,8 +460,10 @@ def q_katz(sf_dir):
 
 
 def q_minhash_groups(sf_dir):
+    from .oracle_truth import write_minhash_groups_expected
     from .pipelines.dedup import minhash_near_duplicates
 
+    write_minhash_groups_expected(sf_dir, threshold=0.7)  # oracle side table
     _, groups = minhash_near_duplicates(_docs(sf_dir), threshold=0.7)
     return groups
 
@@ -469,15 +471,21 @@ def q_minhash_groups(sf_dir):
 def q_ann_topk_lsh(sf_dir):
     import ray.data
 
+    from .oracle_truth import write_ann_topk_lsh_expected
     from .pipelines.ann import ann_topk_lsh
 
+    write_ann_topk_lsh_expected(  # oracle side table
+        sf_dir, [0, 1, 2], k=5, bits=6, hamming_probes=2
+    )
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return ann_topk_lsh(emb, [0, 1, 2], k=5, bits=6, hamming_probes=2)
 
 
 def q_simhash(sf_dir):
+    from .oracle_truth import write_simhash_expected
     from .pipelines.dedup import simhash_fingerprints
 
+    write_simhash_expected(sf_dir)  # oracle side table
     return simhash_fingerprints(_docs(sf_dir))
 
 
@@ -1168,4 +1176,20 @@ walk(v, lab) AS (
 SELECT v, MIN(lab)::BIGINT AS component FROM walk GROUP BY v ORDER BY v"""
 ORACLE_SQL["corpus_extract_text"] = (
     f"SELECT url, text FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet') ORDER BY url"
+)
+
+# -- hash-defined query oracles: parquet written by oracle_truth.py ----------
+# (single-process reference implementations of the same published specs —
+# naive loops + union-find, no shared code with the distributed pipelines.
+# The queries() callables write these before running; paths are pinned to
+# the driver's correctness scale, like the corpus-trio ground truth above.)
+_EXPECTED = "/tmp/gar/expected/sf0.01"
+ORACLE_SQL["minhash_groups"] = (
+    f"SELECT doc_id, \"group\" FROM read_parquet('{_EXPECTED}/minhash_groups.parquet') ORDER BY doc_id"
+)
+ORACLE_SQL["simhash"] = (
+    f"SELECT doc_id, simhash FROM read_parquet('{_EXPECTED}/simhash.parquet') ORDER BY doc_id"
+)
+ORACLE_SQL["ann_topk_lsh"] = (
+    f"SELECT qid, nid, score FROM read_parquet('{_EXPECTED}/ann_topk_lsh.parquet') ORDER BY qid, score DESC, nid"
 )
