@@ -35,12 +35,23 @@ def convert_from_nx(graph, weight: str | None = None) -> Graph:
     label dictionary attached. Engine Graphs pass through unchanged."""
     if isinstance(graph, Graph):
         return graph
+    if graph.is_multigraph():
+        # parallel-edge semantics (multi-counted volumes/cuts, per-key
+        # edge data) have no engine representation; silently collapsing
+        # them returns WRONG numbers (found by nx's own test_cuts) —
+        # refuse instead. nx's test machinery xfails on this.
+        raise NotImplementedError("MultiGraph/MultiDiGraph are not supported")
     # cache inside nx's own __networkx_cache__: every nx mutation method
     # (add/remove edge, attribute writes via nx APIs) clears that dict, so
-    # count-preserving mutations can't serve a stale conversion (ADVICE r3
-    # — the old private-attr cache keyed on (weight, n, m) missed
-    # remove-one-add-one and in-place weight changes)
-    nx_cache = getattr(graph, "__networkx_cache__", None)
+    # count-preserving STRUCTURAL mutations can't serve a stale conversion
+    # (ADVICE r3). Only UNWEIGHTED conversions are cached: a weighted
+    # conversion also depends on attr values, and direct attr-dict writes
+    # (G[u][v]['weight'] = x) bypass nx's cache clearing — nx's own
+    # backend cache documents the same caveat and test mode disables it
+    # (found by nx's test_negative_cycle_heuristic).
+    nx_cache = (
+        getattr(graph, "__networkx_cache__", None) if weight is None else None
+    )
     ckey = (_CACHE_ATTR, weight)
     if isinstance(nx_cache, dict):
         cached = nx_cache.get(ckey)
@@ -78,6 +89,25 @@ def _id_of(g: Graph, k):
     if m is None:
         return int(k)
     return m[k]
+
+
+def _contains(g: Graph, key) -> bool:
+    """Membership test for a label against the conversion dictionary
+    (or the dense id range for engine Graphs). May raise TypeError for
+    unhashable keys — callers use that to detect iterables."""
+    m = getattr(g, "_key_to_id", None)
+    if m is None:
+        return isinstance(key, (int, np.integer)) and 0 <= int(key) < (g.n or 0)
+    return key in m
+
+
+def _ids_in(g: Graph, nbunch) -> set:
+    """nbunch semantics: silently ignore labels not in the graph."""
+    m = getattr(g, "_key_to_id", None)
+    if m is None:
+        n = g.n or 0
+        return {int(k) for k in nbunch if 0 <= int(k) < n}
+    return {m[k] for k in nbunch if k in m}
 
 
 def _map_keys(g: Graph, d: dict) -> dict:
@@ -437,23 +467,32 @@ class Dispatcher:
 
     @staticmethod
     def single_source_bellman_ford_path_length(graph, source, weight="weight"):
-        from .pipelines.shortest_paths import bellman_ford_dict
+        if not _contains(convert_from_nx(graph, weight), source):
+            raise nx.NodeNotFound(f"Node {source} is not found in the graph")
+        from .pipelines.shortest_paths import Unbounded, bellman_ford_dict
 
         g = convert_from_nx(graph, weight)
-        return _map_keys(g, bellman_ford_dict(g, _id_of(g, source)))
+        try:
+            return _map_keys(g, bellman_ford_dict(g, _id_of(g, source)))
+        except Unbounded as e:
+            raise nx.NetworkXUnbounded("Negative cycle detected.") from e
 
     @staticmethod
     def bellman_ford_path(graph, source, target, weight="weight"):
         from .pipelines.shortest_paths import bellman_ford_path
 
         g = convert_from_nx(graph, weight)
+        for node in (source, target):
+            if not _contains(g, node):
+                raise nx.NodeNotFound(f"Node {node} is not found in the graph")
         path = bellman_ford_path(g, _id_of(g, source), _id_of(g, target))
         return [_key_of(g, v) for v in path]
 
     @staticmethod
-    def negative_edge_cycle(graph, weight="weight"):
+    def negative_edge_cycle(graph, weight="weight", heuristic=True):
         from .pipelines.shortest_paths import negative_edge_cycle
 
+        # heuristic only affects nx's early-exit strategy, not the answer
         return bool(negative_edge_cycle(convert_from_nx(graph, weight)))
 
     @staticmethod
@@ -461,6 +500,8 @@ class Dispatcher:
         from .pipelines.traversal import descendants
 
         g = convert_from_nx(graph, None)
+        if not _contains(g, source):
+            raise nx.NetworkXError(f"The node {source} is not in the graph.")
         return {_key_of(g, v) for v in descendants(g, _id_of(g, source))}
 
     @staticmethod
@@ -468,6 +509,8 @@ class Dispatcher:
         from .pipelines.traversal import ancestors
 
         g = convert_from_nx(graph, None)
+        if not _contains(g, source):
+            raise nx.NetworkXError(f"The node {source} is not in the graph.")
         return {_key_of(g, v) for v in ancestors(g, _id_of(g, source))}
 
     @staticmethod
@@ -475,18 +518,31 @@ class Dispatcher:
         from .pipelines.traversal import bfs_layers
 
         g = convert_from_nx(graph, None)
-        if isinstance(sources, (list, set, tuple)):
-            src = [_id_of(g, s) for s in sources]
-        else:
-            src = _id_of(g, sources)
-        for layer in bfs_layers(g, src):
-            yield [_key_of(g, v) for v in layer]
+        # nx semantics: a single node IN the graph, else any iterable
+        # (generators included); unknown sources raise NetworkXError
+        try:
+            single = _contains(g, sources)
+        except TypeError:
+            single = False
+        keys = [sources] if single else list(sources)
+        for k in keys:
+            if not _contains(g, k):
+                raise nx.NetworkXError(f"The node {k} is not in the graph.")
+        src = [_id_of(g, k) for k in keys]
+
+        def _gen():
+            for layer in bfs_layers(g, src):
+                yield [_key_of(g, v) for v in layer]
+
+        return _gen()
 
     @staticmethod
     def descendants_at_distance(graph, source, distance):
         from .pipelines.traversal import descendants_at_distance
 
         g = convert_from_nx(graph, None)
+        if not _contains(g, source):
+            raise nx.NetworkXError(f"The node {source} is not in the graph.")
         return {
             _key_of(g, v)
             for v in descendants_at_distance(g, _id_of(g, source), distance)
@@ -538,27 +594,32 @@ class Dispatcher:
     def node_boundary(graph, nbunch1, nbunch2=None):
         from .pipelines.cuts import node_boundary
 
+        if _num_nodes(graph) == 0:
+            return set()
         g = convert_from_nx(graph, None)
-        S = {_id_of(g, s) for s in nbunch1}
+        S = _ids_in(g, nbunch1)
         out = node_boundary(g, S)
         if nbunch2 is not None:
-            out = out & {_id_of(g, t) for t in nbunch2}
+            out = out & _ids_in(g, nbunch2)
         return {_key_of(g, v) for v in out}
 
     @staticmethod
-    def edge_boundary(graph, nbunch1, nbunch2=None):
+    def edge_boundary(graph, nbunch1, nbunch2=None, data=False, keys=False, default=None):
         from .pipelines.cuts import edge_boundary
 
+        if data is not False or keys is not False:
+            raise NotImplementedError("edge data/keys views are not supported")
+        if _num_nodes(graph) == 0:
+            return iter(())
         g = convert_from_nx(graph, None)
-        S = {_id_of(g, s) for s in nbunch1}
-        T = {_id_of(g, t) for t in nbunch2} if nbunch2 is not None else None
+        S = _ids_in(g, nbunch1)
+        T = _ids_in(g, nbunch2) if nbunch2 is not None else None
         res = edge_boundary(g, S, T)
         if hasattr(res, "take_all"):
             rows = [(r["src"], r["dst"]) for r in res.take_all()]
         else:
             rows = list(res)
-        for u, v in rows:
-            yield (_key_of(g, int(u)), _key_of(g, int(v)))
+        return iter([(_key_of(g, int(u)), _key_of(g, int(v))) for u, v in rows])
 
     # -- structure -----------------------------------------------------
     @staticmethod
@@ -567,20 +628,28 @@ class Dispatcher:
 
         g = convert_from_nx(graph, None)
         if nodes is None:
-            return float(overall_reciprocity(g))
+            return Dispatcher.overall_reciprocity(graph)
         if not isinstance(nodes, (list, set, tuple)):
             res = _vertex_dict(g, reciprocity(g, nodes=[_id_of(g, nodes)]), "reciprocity")
+            if nodes not in res:  # degree-0 node: nx parity
+                raise nx.NetworkXError("Not defined for isolated nodes.")
             return res[nodes]
         res = _vertex_dict(
             g, reciprocity(g, nodes=[_id_of(g, k) for k in nodes]), "reciprocity"
         )
+        if len(res) < len({k for k in nodes}):
+            raise nx.NetworkXError("Not defined for isolated nodes.")
         return res
 
     @staticmethod
     def overall_reciprocity(graph):
         from .pipelines.structure import overall_reciprocity
 
-        return float(overall_reciprocity(convert_from_nx(graph, None)))
+        g = convert_from_nx(graph, None)
+        g._ensure_built()
+        if g.m == 0:
+            raise nx.NetworkXError("Not defined for empty graphs")
+        return float(overall_reciprocity(g))
 
     @staticmethod
     def is_isolate(graph, n):
@@ -607,6 +676,8 @@ class Dispatcher:
     def is_regular(graph):
         from .pipelines.structure import is_regular
 
+        if _num_nodes(graph) == 0:
+            raise nx.NetworkXPointlessConcept("Graph has no nodes.")
         return bool(is_regular(convert_from_nx(graph, None)))
 
     @staticmethod

@@ -102,7 +102,7 @@ def pytest_collection_modifyitems(config, items):
     skip = pytest.mark.skip(reason="scipy not installed (stubbed for dispatch only)")
     # tests that call scipy-backed nx internals directly without "scipy"
     # in their node id (test_hits_not_convergent calls _hits_scipy inline)
-    extra = {"test_hits_not_convergent"}
+    extra = {"test_hits_not_convergent", "test_tournament_matrix"}
     for item in items:
         if "scipy" in item.nodeid.lower() or item.name in extra:
             item.add_marker(skip)
