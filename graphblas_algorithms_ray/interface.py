@@ -685,3 +685,219 @@ class Dispatcher:
         from .pipelines.misc import is_tournament
 
         return bool(is_tournament(convert_from_nx(graph, None)))
+
+    @staticmethod
+    def score_sequence(graph):
+        from .pipelines.misc import score_sequence
+
+        return score_sequence(convert_from_nx(graph, None))
+
+    @staticmethod
+    def is_triad(graph):
+        from .pipelines.misc import is_triad
+
+        return bool(is_triad(convert_from_nx(graph, None)))
+
+    @staticmethod
+    def is_k_regular(graph, k):
+        from .pipelines.misc import is_k_regular
+
+        return bool(is_k_regular(convert_from_nx(graph, None), k))
+
+    @staticmethod
+    def is_dominating_set(graph, nbunch):
+        from .pipelines.misc import is_dominating_set
+
+        g = convert_from_nx(graph, None)
+        return bool(is_dominating_set(g, _ids_in(g, nbunch)))
+
+    @staticmethod
+    def is_simple_path(graph, nodes):
+        from .pipelines.misc import is_simple_path
+
+        g = convert_from_nx(graph, None)
+        keys = list(nodes)
+        if any(not _contains(g, k) for k in keys):
+            return False  # nx parity: unknown nodes make the path invalid
+        return bool(is_simple_path(g, [_id_of(g, k) for k in keys]))
+
+    @staticmethod
+    def efficiency(graph, u, v):
+        from .pipelines.misc import efficiency
+
+        g = convert_from_nx(graph, None)
+        return float(efficiency(g, _id_of(g, u), _id_of(g, v)))
+
+    @staticmethod
+    def s_metric(graph, **kwargs):
+        from .pipelines.structure import s_metric
+
+        # nx <3.4 accepted a deprecated `normalized` kwarg; refuse truthy
+        if kwargs.pop("normalized", False):
+            raise nx.NetworkXError("Normalization not implemented")
+        if kwargs:
+            raise TypeError(f"unexpected kwargs: {sorted(kwargs)}")
+        return float(s_metric(convert_from_nx(graph, None)))
+
+    @staticmethod
+    def lowest_common_ancestor(graph, node1, node2, default=None):
+        from .pipelines.misc import lowest_common_ancestor
+
+        if _num_nodes(graph) == 0:
+            raise nx.NetworkXPointlessConcept(
+                "LCA meaningless on null graphs."
+            )
+        g = convert_from_nx(graph, None)
+        # nx parity: LCA is only defined on DAGs. Kahn peel on the edge
+        # table (driver-side — this nx-facing tier is the small-graph
+        # surface; engine users call pipelines.misc directly).
+        g._ensure_built()
+        edges = g.edges_pandas()
+        if len(edges) == 0:  # edgeless: trivially a DAG (empty frames
+            # can also drop columns entirely)
+            res = lowest_common_ancestor(
+                g, _id_of(g, node1), _id_of(g, node2), default=None
+            )
+            return default if res is None else _key_of(g, int(res))
+        indeg = np.zeros(g.n, np.int64)
+        src_a = edges["src"].to_numpy().astype(np.int64)
+        dst_a = edges["dst"].to_numpy().astype(np.int64)
+        np.add.at(indeg, dst_a, 1)
+        alive = np.ones(g.n, dtype=bool)
+        frontier = list(np.nonzero(indeg == 0)[0])
+        removed = 0
+        import collections
+
+        out_adj = collections.defaultdict(list)
+        for s, d in zip(src_a, dst_a):
+            out_adj[int(s)].append(int(d))
+        while frontier:
+            v = frontier.pop()
+            alive[v] = False
+            removed += 1
+            for d in out_adj.get(int(v), ()):
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    frontier.append(d)
+        if removed < g.n:
+            raise nx.NetworkXError(
+                "LCA only defined on directed acyclic graphs."
+            )
+        res = lowest_common_ancestor(
+            g, _id_of(g, node1), _id_of(g, node2), default=None
+        )
+        return default if res is None else _key_of(g, int(res))
+
+    @staticmethod
+    def fast_could_be_isomorphic(graph1, graph2):
+        from .pipelines.misc import fast_could_be_isomorphic
+
+        return bool(
+            fast_could_be_isomorphic(
+                convert_from_nx(graph1, None), convert_from_nx(graph2, None)
+            )
+        )
+
+    @staticmethod
+    def faster_could_be_isomorphic(graph1, graph2):
+        from .pipelines.misc import faster_could_be_isomorphic
+
+        return bool(
+            faster_could_be_isomorphic(
+                convert_from_nx(graph1, None), convert_from_nx(graph2, None)
+            )
+        )
+
+    @staticmethod
+    def ego_graph(graph, n, radius=1, center=True, undirected=False, distance=None):
+        from .pipelines.misc import ego_graph
+
+        if distance is not None:
+            raise NotImplementedError("weighted ego distance is not implemented")
+        g = convert_from_nx(graph, None)
+        if undirected and g.directed:
+            g = g.to_undirected()
+            g._key_to_id = getattr(
+                convert_from_nx(graph, None), "_key_to_id", None
+            )
+            g._id_to_key = getattr(
+                convert_from_nx(graph, None), "_id_to_key", None
+            )
+        sub = ego_graph(g, _id_of(g, n), radius=radius, center=center)
+        edges = sub.edges_pandas()
+        out = nx.DiGraph() if sub.directed else nx.Graph()
+        # node set = BFS ball (isolated center included when center=True)
+        from .pipelines.traversal import bfs_levels
+
+        ball = {
+            int(r["v"]) for r in bfs_levels(g, _id_of(g, n), cutoff=radius).take_all()
+        }
+        if not center:
+            ball.discard(_id_of(g, n))
+        out.add_nodes_from(_key_of(g, v) for v in sorted(ball))
+        for u, v in zip(edges["src"].astype(int), edges["dst"].astype(int)):
+            out.add_edge(_key_of(g, int(u)), _key_of(g, int(v)))
+        return out
+
+    @staticmethod
+    def floyd_warshall(graph, weight="weight"):
+        from .pipelines.small_fallbacks import floyd_warshall
+
+        import collections
+
+        g = convert_from_nx(graph, weight)
+        keys = getattr(g, "_id_to_key", None) or list(range(g.n or 0))
+        # nx returns dict-of-defaultdict(inf): unreachable pairs read as inf
+        dist: dict = {k: collections.defaultdict(lambda: float("inf")) for k in keys}
+        for r in floyd_warshall(g).take_all():
+            dist[_key_of(g, int(r["src"]))][_key_of(g, int(r["dst"]))] = float(
+                r["dist"]
+            )
+        return dist
+
+    @staticmethod
+    def floyd_warshall_predecessor_and_distance(graph, weight="weight"):
+        from .pipelines.small_fallbacks import (
+            floyd_warshall_predecessor_and_distance,
+        )
+
+        g = convert_from_nx(graph, weight)
+        import collections
+
+        pred_ds, dist_ds = floyd_warshall_predecessor_and_distance(g)
+        keys = getattr(g, "_id_to_key", None) or list(range(g.n or 0))
+        # nx's pred is a defaultdict: rows appear only when written
+        pred: dict = collections.defaultdict(dict)
+        # nx materializes the FULL distance matrix (inf for unreachable)
+        inf = float("inf")
+        dist: dict = {k: {k2: inf for k2 in keys} for k in keys}
+        for r in pred_ds.take_all():
+            pred[_key_of(g, int(r["src"]))][_key_of(g, int(r["dst"]))] = _key_of(
+                g, int(r["pred"])
+            )
+        for r in dist_ds.take_all():
+            dist[_key_of(g, int(r["src"]))][_key_of(g, int(r["dst"]))] = float(
+                r["dist"]
+            )
+        return pred, dist
+
+    @staticmethod
+    def google_matrix(
+        graph,
+        alpha=0.85,
+        personalization=None,
+        nodelist=None,
+        weight="weight",
+        dangling=None,
+    ):
+        from .pipelines.small_fallbacks import google_matrix
+
+        if nodelist is not None:
+            raise NotImplementedError("nodelist reordering is not implemented")
+        g = convert_from_nx(graph, None)
+        return google_matrix(
+            g,
+            alpha=alpha,
+            personalization=_map_dict_in(g, personalization),
+            dangling=_map_dict_in(g, dangling),
+        )

@@ -267,6 +267,20 @@ def test_every_dispatcher_method_called_once():
         "number_of_isolates": lambda: D.number_of_isolates(U),
         "is_regular": lambda: D.is_regular(U),
         "is_tournament": lambda: D.is_tournament(T),
+        "score_sequence": lambda: D.score_sequence(T),
+        "is_triad": lambda: D.is_triad(T),
+        "is_k_regular": lambda: D.is_k_regular(U, 2),
+        "is_dominating_set": lambda: D.is_dominating_set(U, {"a", "d"}),
+        "is_simple_path": lambda: D.is_simple_path(U, ["a", "b", "c"]),
+        "efficiency": lambda: D.efficiency(U, "a", "d"),
+        "s_metric": lambda: D.s_metric(U),
+        "lowest_common_ancestor": lambda: D.lowest_common_ancestor(T, "y", "z"),
+        "fast_could_be_isomorphic": lambda: D.fast_could_be_isomorphic(U, U),
+        "faster_could_be_isomorphic": lambda: D.faster_could_be_isomorphic(U, U),
+        "ego_graph": lambda: D.ego_graph(U, "a"),
+        "floyd_warshall": lambda: D.floyd_warshall(W),
+        "floyd_warshall_predecessor_and_distance": lambda: D.floyd_warshall_predecessor_and_distance(W),
+        "google_matrix": lambda: D.google_matrix(DG),
     }
     import inspect
 
@@ -280,6 +294,31 @@ def test_every_dispatcher_method_called_once():
     )
     for name, fn in calls.items():
         fn()  # must not raise
+
+    # nx-exact spot checks for the round-4 Dispatcher additions
+    assert D.score_sequence(T) == list(nx.tournament.score_sequence(T))
+    assert D.is_dominating_set(U, {"a", "d"}) == nx.is_dominating_set(U, {"a", "d"})
+    assert D.is_simple_path(U, ["a", "b", "c"]) == nx.is_simple_path(U, ["a", "b", "c"])
+    assert D.efficiency(U, "a", "d") == nx.efficiency(U, "a", "d")
+    assert D.s_metric(U) == nx.s_metric(U)
+    assert D.lowest_common_ancestor(T, "y", "z") == nx.lowest_common_ancestor(T, "y", "z")
+    eg = D.ego_graph(U, "a", radius=2)
+    ex = nx.ego_graph(U, "a", radius=2)
+    assert set(eg.nodes()) == set(ex.nodes())
+    assert {frozenset(e) for e in eg.edges()} == {frozenset(e) for e in ex.edges()}
+    fw = D.floyd_warshall(W)
+    ex_fw = nx.floyd_warshall(W)
+    for s in W.nodes():
+        for d, dd in ex_fw[s].items():
+            import math
+            if math.isfinite(dd):
+                assert abs(fw[s][d] - dd) < 1e-9
+            else:
+                assert d not in fw[s]
+    import numpy as np
+    gm = D.google_matrix(DG)
+    ex_gm = nx.google_matrix(DG)
+    np.testing.assert_allclose(gm, ex_gm, atol=1e-12)
 
     # spot-check the three r3-broken methods against networkx
     assert D.is_weakly_connected(DG) == nx.is_weakly_connected(DG)
