@@ -327,6 +327,14 @@ def main():
                             f"sec_{lo_n}": p[0]["value"],
                             f"sec_{hi_n}": p[1]["value"],
                             "efficiency": round(p[2], 3),
+                            "pagerank_efficiency": round(
+                                (
+                                    p[1]["edges_per_sec_pagerank"]
+                                    / p[0]["edges_per_sec_pagerank"]
+                                )
+                                / factor,
+                                3,
+                            ),
                         }
                         for p in pairs
                     ],

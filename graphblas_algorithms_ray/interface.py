@@ -97,7 +97,7 @@ def _contains(g: Graph, key) -> bool:
     unhashable keys — callers use that to detect iterables."""
     m = getattr(g, "_key_to_id", None)
     if m is None:
-        return isinstance(key, (int, np.integer)) and 0 <= int(key) < (g.n or 0)
+        return isinstance(key, (int, np.integer)) and 0 <= int(key) < _num_nodes(g)
     return key in m
 
 
@@ -105,7 +105,7 @@ def _ids_in(g: Graph, nbunch) -> set:
     """nbunch semantics: silently ignore labels not in the graph."""
     m = getattr(g, "_key_to_id", None)
     if m is None:
-        n = g.n or 0
+        n = _num_nodes(g)
         return {int(k) for k in nbunch if 0 <= int(k) < n}
     return {m[k] for k in nbunch if k in m}
 
@@ -252,6 +252,10 @@ class Dispatcher:
     def eigenvector_centrality(graph, max_iter=100, tol=1e-6, nstart=None, weight=None):
         from .pipelines.link_analysis import ConvergenceFailure, eigenvector_centrality
 
+        if _num_nodes(graph) == 0:
+            raise nx.NetworkXPointlessConcept(
+                "cannot compute centrality for the null graph"
+            )
         g = convert_from_nx(graph, weight)
         try:
             res = eigenvector_centrality(
@@ -268,6 +272,8 @@ class Dispatcher:
     ):
         from .pipelines.link_analysis import ConvergenceFailure, katz_centrality
 
+        if _num_nodes(graph) == 0:
+            return {}  # nx parity
         g = convert_from_nx(graph, weight)
         b = _map_dict_in(g, beta) if isinstance(beta, dict) else beta
         try:
@@ -467,11 +473,11 @@ class Dispatcher:
 
     @staticmethod
     def single_source_bellman_ford_path_length(graph, source, weight="weight"):
-        if not _contains(convert_from_nx(graph, weight), source):
-            raise nx.NodeNotFound(f"Node {source} is not found in the graph")
         from .pipelines.shortest_paths import Unbounded, bellman_ford_dict
 
         g = convert_from_nx(graph, weight)
+        if not _contains(g, source):
+            raise nx.NodeNotFound(f"Node {source} is not found in the graph")
         try:
             return _map_keys(g, bellman_ford_dict(g, _id_of(g, source)))
         except Unbounded as e:
@@ -763,19 +769,15 @@ class Dispatcher:
         src_a = edges["src"].to_numpy().astype(np.int64)
         dst_a = edges["dst"].to_numpy().astype(np.int64)
         np.add.at(indeg, dst_a, 1)
-        alive = np.ones(g.n, dtype=bool)
+        order = np.argsort(src_a, kind="stable")
+        s_sorted, d_sorted = src_a[order], dst_a[order]
+        bounds = np.searchsorted(s_sorted, np.arange(g.n + 1))
         frontier = list(np.nonzero(indeg == 0)[0])
         removed = 0
-        import collections
-
-        out_adj = collections.defaultdict(list)
-        for s, d in zip(src_a, dst_a):
-            out_adj[int(s)].append(int(d))
         while frontier:
-            v = frontier.pop()
-            alive[v] = False
+            v = int(frontier.pop())
             removed += 1
-            for d in out_adj.get(int(v), ()):
+            for d in d_sorted[bounds[v] : bounds[v + 1]]:
                 indeg[d] -= 1
                 if indeg[d] == 0:
                     frontier.append(d)
@@ -810,33 +812,41 @@ class Dispatcher:
 
     @staticmethod
     def ego_graph(graph, n, radius=1, center=True, undirected=False, distance=None):
-        from .pipelines.misc import ego_graph
+        import pyarrow as pa
+
+        from .pipelines.traversal import bfs_levels
 
         if distance is not None:
             raise NotImplementedError("weighted ego distance is not implemented")
         g = convert_from_nx(graph, None)
-        if undirected and g.directed:
-            g = g.to_undirected()
-            g._key_to_id = getattr(
-                convert_from_nx(graph, None), "_key_to_id", None
-            )
-            g._id_to_key = getattr(
-                convert_from_nx(graph, None), "_id_to_key", None
-            )
-        sub = ego_graph(g, _id_of(g, n), radius=radius, center=center)
-        edges = sub.edges_pandas()
-        out = nx.DiGraph() if sub.directed else nx.Graph()
-        # node set = BFS ball (isolated center included when center=True)
-        from .pipelines.traversal import bfs_levels
-
+        g._ensure_built()
+        # nx semantics: undirected=True changes only NODE SELECTION (BFS
+        # on the symmetrized graph); the returned subgraph keeps the
+        # original arcs and graph type (found by code review r4)
+        walk = g.to_undirected() if (undirected and g.directed) else g
         ball = {
-            int(r["v"]) for r in bfs_levels(g, _id_of(g, n), cutoff=radius).take_all()
+            int(r["v"])
+            for r in bfs_levels(walk, _id_of(g, n), cutoff=radius).take_all()
         }
         if not center:
             ball.discard(_id_of(g, n))
+        karr = np.array(sorted(ball), dtype=np.int64)
+
+        def _induced(t: pa.Table) -> pa.Table:
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            if karr.size == 0 or t.num_rows == 0:
+                return t.slice(0, 0)
+            ps = np.minimum(np.searchsorted(karr, s), karr.size - 1)
+            pd_ = np.minimum(np.searchsorted(karr, d), karr.size - 1)
+            m = (karr[ps] == s) & (karr[pd_] == d)
+            return t.filter(pa.array(m))
+
+        out = nx.DiGraph() if g.directed else nx.Graph()
         out.add_nodes_from(_key_of(g, v) for v in sorted(ball))
-        for u, v in zip(edges["src"].astype(int), edges["dst"].astype(int)):
-            out.add_edge(_key_of(g, int(u)), _key_of(g, int(v)))
+        edges = g.edges_ds().map_batches(_induced, batch_format="pyarrow")
+        for r in edges.take_all():
+            out.add_edge(_key_of(g, int(r["src"])), _key_of(g, int(r["dst"])))
         return out
 
     @staticmethod
@@ -846,7 +856,7 @@ class Dispatcher:
         import collections
 
         g = convert_from_nx(graph, weight)
-        keys = getattr(g, "_id_to_key", None) or list(range(g.n or 0))
+        keys = getattr(g, "_id_to_key", None) or list(range(_num_nodes(g)))
         # nx returns dict-of-defaultdict(inf): unreachable pairs read as inf
         dist: dict = {k: collections.defaultdict(lambda: float("inf")) for k in keys}
         for r in floyd_warshall(g).take_all():
@@ -865,7 +875,7 @@ class Dispatcher:
         import collections
 
         pred_ds, dist_ds = floyd_warshall_predecessor_and_distance(g)
-        keys = getattr(g, "_id_to_key", None) or list(range(g.n or 0))
+        keys = getattr(g, "_id_to_key", None) or list(range(_num_nodes(g)))
         # nx's pred is a defaultdict: rows appear only when written
         pred: dict = collections.defaultdict(dict)
         # nx materializes the FULL distance matrix (inf for unreachable)
@@ -894,7 +904,7 @@ class Dispatcher:
 
         if nodelist is not None:
             raise NotImplementedError("nodelist reordering is not implemented")
-        g = convert_from_nx(graph, None)
+        g = convert_from_nx(graph, weight)
         return google_matrix(
             g,
             alpha=alpha,

@@ -26,6 +26,16 @@ import pyarrow.parquet as pq
 
 _PRIME = np.uint64(1099511628211)
 
+# The reference implementations are naive single-process loops; they exist
+# for the correctness harness (driver runs at sf0.01). Above this many rows
+# the writers no-op so a production-scale queries() call never serializes
+# on a driver-side Python loop (code review r4).
+_MAX_ORACLE_ROWS = 20_000
+
+
+def _too_big(path: str, limit: int = _MAX_ORACLE_ROWS) -> bool:
+    return pq.ParquetFile(path).metadata.num_rows > limit
+
 
 def expected_dir(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
@@ -47,9 +57,11 @@ def _doc_rows(sf_dir: str):
     )
 
 
-def write_simhash_expected(sf_dir: str) -> str:
+def write_simhash_expected(sf_dir: str) -> str | None:
     import polars as pl
 
+    if _too_big(os.path.join(sf_dir, "documents.parquet")):
+        return None
     rows = _doc_rows(sf_dir)
     out_id, out_fp = [], []
     for doc_id, text in rows:
@@ -111,7 +123,9 @@ def write_minhash_groups_expected(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-) -> str:
+) -> str | None:
+    if _too_big(os.path.join(sf_dir, "documents.parquet")):
+        return None
     rows = _doc_rows(sf_dir)
     rng = np.random.RandomState(11)  # _perm_params(seed=11) spec
     a = (rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)) | np.uint64(1)
@@ -186,7 +200,9 @@ def write_ann_topk_lsh_expected(
     bits: int = 6,
     hamming_probes: int = 2,
     round_to: int = 6,
-) -> str:
+) -> str | None:
+    if _too_big(os.path.join(sf_dir, "embeddings.parquet"), 100_000):
+        return None
     t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
