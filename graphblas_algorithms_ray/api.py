@@ -481,6 +481,14 @@ def q_ann_topk_lsh(sf_dir):
     return ann_topk_lsh(emb, [0, 1, 2], k=5, bits=6, hamming_probes=2)
 
 
+def q_ngram_jaccard(sf_dir):
+    from .oracle_truth import write_ngram_jaccard_expected
+    from .pipelines.dedup import ngram_jaccard_pairs
+
+    write_ngram_jaccard_expected(sf_dir, threshold=0.5)  # oracle side table
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+
+
 def q_simhash(sf_dir):
     from .oracle_truth import write_simhash_expected
     from .pipelines.dedup import simhash_fingerprints
@@ -653,6 +661,7 @@ QUERIES = {
     "minhash_groups": q_minhash_groups,
     "ann_topk_lsh": q_ann_topk_lsh,
     "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
     "language_id": q_language_id,
     "laplacian": q_laplacian,
     "bethe_hessian": q_bethe_hessian,
@@ -1189,6 +1198,9 @@ ORACLE_SQL["minhash_groups"] = (
 )
 ORACLE_SQL["simhash"] = (
     f"SELECT doc_id, simhash FROM read_parquet('{_EXPECTED}/simhash.parquet') ORDER BY doc_id"
+)
+ORACLE_SQL["ngram_jaccard"] = (
+    f"SELECT a, b, jaccard FROM read_parquet('{_EXPECTED}/ngram_jaccard.parquet') ORDER BY a, b"
 )
 ORACLE_SQL["ann_topk_lsh"] = (
     f"SELECT qid, nid, score FROM read_parquet('{_EXPECTED}/ann_topk_lsh.parquet') ORDER BY qid, score DESC, nid"

@@ -257,3 +257,68 @@ def write_ann_topk_lsh_expected(
         path,
     )
     return path
+
+
+def write_ngram_jaccard_expected(
+    sf_dir: str,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+) -> str | None:
+    """Verified n-gram Jaccard pairs — the ngram_jaccard_pairs spec
+    (MinHash-LSH candidates at a recall-oriented banding, exact-Jaccard
+    verified), naive single-process form."""
+    if _too_big(os.path.join(sf_dir, "documents.parquet")):
+        return None
+    rows = _doc_rows(sf_dir)
+    rng = np.random.RandomState(11)
+    a = (rng.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)) | np.uint64(1)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    r = num_perm // bands
+    shingles: dict[int, np.ndarray] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    with np.errstate(over="ignore"):
+        for doc_id, text in rows:
+            doc_id = int(doc_id)
+            sh = _doc_shingles(text, shingle_k)
+            shingles[doc_id] = sh
+            sig = np.array(
+                [int((sh * a[i] + b[i]).min()) for i in range(num_perm)],
+                dtype=np.uint64,
+            )
+            for band in range(bands):
+                h = np.uint64(0)
+                for j in range(r):
+                    h = h * _PRIME + sig[band * r + j]
+                buckets.setdefault((band, int(h.astype(np.int64))), []).append(doc_id)
+    cands = set()
+    for members in buckets.values():
+        if len(members) > 1:
+            hub = min(members)
+            for m2 in members:
+                if m2 != hub:
+                    cands.add((hub, m2))
+    out_a, out_b, out_j = [], [], []
+    for hub, m2 in sorted(cands):
+        sa, sb = shingles[hub], shingles[m2]
+        inter = np.intersect1d(sa, sb).size
+        denom = sa.size + sb.size - inter
+        j = inter / max(denom, 1) if denom > 0 else 0.0
+        if j >= threshold:
+            out_a.append(hub)
+            out_b.append(m2)
+            out_j.append(float(j))
+    path = os.path.join(expected_dir(sf_dir), "ngram_jaccard.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        ),
+        path,
+    )
+    return path

@@ -24,6 +24,7 @@ from .pipelines.cluster_directed import (
     transitivity_directed,
 )
 from .pipelines.components import (
+    is_weakly_connected,
     connected_components,
     is_connected,
     node_connected_component,
@@ -37,6 +38,7 @@ from .pipelines.cuts import (
     edge_expansion,
     mixing_expansion,
     node_boundary,
+    node_boundary_ds,
     node_expansion,
     normalized_cut_size,
     volume,
@@ -159,6 +161,7 @@ ALGORITHMS = {
     # components / traversal
     "connected_components": connected_components,
     "is_connected": is_connected,
+    "is_weakly_connected": is_weakly_connected,
     "node_connected_component": node_connected_component,
     "bfs_layers": bfs_layers,
     "bfs_levels": bfs_levels,
@@ -205,6 +208,7 @@ ALGORITHMS = {
     # boundary / cuts
     "edge_boundary": edge_boundary,
     "node_boundary": node_boundary,
+    "node_boundary_ds": node_boundary_ds,
     "cut_size": cut_size,
     "volume": volume,
     "normalized_cut_size": normalized_cut_size,
