@@ -420,11 +420,21 @@ def graph_from_corpus(
     declared nodes)."""
     from ..state.graph import Graph
 
-    links = extract_links(corpus).materialize()
+    # links extraction and the pruned page-url read are independent jobs
+    # over the same input — overlap them (two Dataset executions from two
+    # driver threads; ~0.5 s off the extract stage at sf0.1)
+    import concurrent.futures as _cf
+
+    with _cf.ThreadPoolExecutor(2) as _pool:
+        _f_links = _pool.submit(lambda: extract_links(corpus).materialize())
+        _f_pages = _pool.submit(
+            lambda: corpus.select_columns(["url"]).materialize()
+        )
+        links = _f_links.result()
+        page_urls = _f_pages.result()
     # dictionary input assembled as TASKS over already-materialized blocks
     # (per-block dst dedup + the pruned page-url read) — no union/combine
     # Dataset job between extraction and the rank shuffle
-    page_urls = corpus.select_columns(["url"]).materialize()
     dst_blocks = [
         _dedup_block_col.remote(b, "dst_url") for b in links.to_arrow_refs()
     ]
