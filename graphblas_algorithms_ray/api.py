@@ -481,6 +481,12 @@ def q_ann_topk_lsh(sf_dir):
     return ann_topk_lsh(emb, [0, 1, 2], k=5, bits=6, hamming_probes=2)
 
 
+def q_bpe_token_counts(sf_dir):
+    from .pipelines.text import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir))
+
+
 def q_ngram_jaccard(sf_dir):
     from .oracle_truth import write_ngram_jaccard_expected
     from .pipelines.dedup import ngram_jaccard_pairs
@@ -662,6 +668,7 @@ QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "bpe_token_counts": q_bpe_token_counts,
     "language_id": q_language_id,
     "laplacian": q_laplacian,
     "bethe_hessian": q_bethe_hessian,
@@ -946,6 +953,9 @@ ORDER BY doc_id""",
   ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
   ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
 FROM documents GROUP BY lang ORDER BY lang""",
+    "bpe_token_counts": """SELECT doc_id,
+  len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT AS n_bpe_tokens
+FROM documents ORDER BY doc_id""",
     "train_val_split": """SELECT doc_id,
   -- HUGEINT arithmetic: signed BIGINT would overflow for doc_id >= 2^32
   -- and silently diverge from the engine's uint64 wraparound (ADVICE r3)

@@ -672,3 +672,29 @@ def assign_splits(
     return docs.select_columns(["doc_id"]).map_batches(
         _assign, batch_format="pyarrow"
     )
+
+
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_bpe_tokens): GPT-2-style pre-tokenizer count — letter
+    runs, digit runs and punctuation runs, each with an optional leading
+    space (the lookahead-free RE2 form; Arrow, DuckDB and Python re all
+    agree on it, verified in tests). The cheap budget signal an LLM data
+    pipeline uses before real BPE: stateless, one Arrow regex pass per
+    batch, no shuffle."""
+    import pyarrow.compute as pc
+
+    def _count(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], _BPE_PATTERN)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _count, batch_format="pyarrow"
+    )

@@ -243,3 +243,32 @@ FROM (SELECT unnest($ids) AS doc_id)""",
     ).fetchall()
     exp = {r[0]: r[1] for r in rows}
     assert got == exp
+
+
+def test_bpe_token_counts_matches_python_re():
+    import re
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from graphblas_algorithms_ray.pipelines.text import (
+        _BPE_PATTERN,
+        bpe_token_counts,
+    )
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    ds = ray.data.from_arrow(t)
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(ds).take_all()}
+    pat = re.compile(_BPE_PATTERN)
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        assert got[doc_id] == len(pat.findall(text))
+    # tricky rows: unicode, punctuation runs, contractions, empty
+    rows = ["", "   ", "it's x9y!!", "café …—", "a1b2 c3", "Hello, world! 42"]
+    ds2 = ray.data.from_items(
+        [{"doc_id": i, "text": s} for i, s in enumerate(rows)]
+    )
+    got2 = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(ds2).take_all()}
+    for i, s in enumerate(rows):
+        assert got2[i] == len(pat.findall(s))
