@@ -295,17 +295,20 @@ def main():
 
         # Interleaved rounds: this sandbox VM shows 20-60% noise from host
         # co-tenancy (nonzero /proc/stat steal at idle, drifting over tens
-        # of minutes). Each round runs the (lo, hi) legs BACK-TO-BACK so
-        # both see similar host conditions; the headline is the best
-        # round's efficiency (additive noise only ever lowers a round's
-        # ratio), with every round's wall times recorded for transparency.
+        # of minutes). Noise only ever ADDS time to a leg, so the per-leg
+        # MINIMUM across rounds is the honest estimate of the workload's
+        # true leg time, and the headline efficiency is the ratio of those
+        # minima. (Maximizing per-round ratios would be biased UP: a noisy
+        # 2-core leg inflates its round's ratio.) Every round's wall times
+        # are recorded for transparency.
         rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
         factor = hi_n / lo_n
         pairs = []
         for _ in range(rounds):
             lo_i, hi_i = run(lo_n), run(hi_n)
             pairs.append((lo_i, hi_i, (lo_i["value"] / hi_i["value"]) / factor))
-        lo, hi, _ = max(pairs, key=lambda p: p[2])
+        lo = min((p[0] for p in pairs), key=lambda r: r["value"])
+        hi = min((p[1] for p in pairs), key=lambda r: r["value"])
         # north-rule criterion: PageRank throughput scaling (edges/sec);
         # whole-pipeline wall-clock scaling reported alongside as context
         pr_eff = (hi["edges_per_sec_pagerank"] / lo["edges_per_sec_pagerank"]) / factor
