@@ -146,14 +146,117 @@ def _vertex_dict(g: Graph, ds, col: str, cast=float) -> dict:
 
 def convert_to_nx(obj, *, name: str | None = None):
     """Engine results → nx-facing objects (Graph → nx graph; Datasets are
-    converted inside the dispatcher methods, which know their shapes)."""
+    converted inside the dispatcher methods, which know their shapes).
+    Graphs carry their label dictionary back out: ids map through
+    ``_id_to_key`` (set by ``convert_from_nx`` and by the operator glue),
+    so ``nx.union(G, H, backend=...)`` round-trips original labels."""
     if isinstance(obj, Graph):
-        edges = obj.edges_pandas()
+        obj._ensure_built()
+        keys = getattr(obj, "_id_to_key", None)
         out = nx.DiGraph() if obj.directed else nx.Graph()
-        out.add_nodes_from(range(obj.n))
-        out.add_edges_from(zip(edges["src"].astype(int), edges["dst"].astype(int)))
+        if keys is None:
+            out.add_nodes_from(range(obj.n))
+        else:
+            out.add_nodes_from(keys)
+        edges = obj.edges_pandas()
+        if len(edges) == 0 or "src" not in edges.columns:
+            return out
+        srcs = edges["src"].astype(int)
+        dsts = edges["dst"].astype(int)
+        if obj.weighted and "weight" in edges.columns:
+            ws = edges["weight"].astype(float)
+            if keys is None:
+                out.add_weighted_edges_from(zip(srcs, dsts, ws))
+            else:
+                out.add_weighted_edges_from(
+                    (keys[u], keys[v], w) for u, v, w in zip(srcs, dsts, ws)
+                )
+        elif keys is None:
+            out.add_edges_from(zip(srcs, dsts))
+        else:
+            out.add_edges_from((keys[u], keys[v]) for u, v in zip(srcs, dsts))
         return out
     return obj
+
+
+def _keys_list(g: Graph) -> list:
+    """The graph's node labels in id order (ids themselves if no dict)."""
+    keys = getattr(g, "_id_to_key", None)
+    if keys is not None:
+        return list(keys)
+    return list(range(_num_nodes(g)))
+
+
+def _set_keys(g: Graph, keys) -> Graph:
+    g._id_to_key = list(keys)
+    g._key_to_id = {k: i for i, k in enumerate(g._id_to_key)}
+    return g
+
+
+def _remapped_graph(g: Graph, trans: np.ndarray, n_out: int) -> Graph:
+    """g's edge table pushed through the id-translation array ``trans``
+    (entry −1 drops the edge) as a new engine Graph over the output id
+    space — the operator glue's vectorized analog of the reference's
+    ``A[ids, ids]`` permutations (``algorithms/operators/binary.py``).
+    One streaming map over the edge blocks; no driver materialization."""
+    import pyarrow as pa
+
+    g._ensure_built()
+    weighted = g.weighted
+
+    def _remap(t: pa.Table) -> pa.Table:
+        s = trans[t["src"].to_numpy(zero_copy_only=False)]
+        d = trans[t["dst"].to_numpy(zero_copy_only=False)]
+        keep = (s >= 0) & (d >= 0)
+        cols = {"src": pa.array(s[keep]), "dst": pa.array(d[keep])}
+        if weighted and "weight" in t.column_names:
+            cols["weight"] = pa.array(
+                t["weight"].to_numpy(zero_copy_only=False)[keep]
+            )
+        return pa.table(cols)
+
+    # edges_ds() of an undirected graph already carries both directions;
+    # feed the remapped table back in as directed to avoid re-symmetrizing
+    # (the downstream operator result keeps the logical directedness).
+    return Graph(
+        g.edges_ds().map_batches(_remap, batch_format="pyarrow"),
+        n=n_out,
+        directed=True,
+        weighted=weighted,
+        num_parts=g.num_parts,
+    )
+
+
+_DENSE_NX_LIMIT = 4096  # n×n numpy outputs (linalg glue) refuse above this
+
+
+def _dense_adjacency(g: Graph, nodelist=None) -> np.ndarray:
+    """Dense adjacency over the converted graph (weights if converted
+    weighted), rows/cols ordered by ``nodelist`` labels (nx semantics:
+    the matrix of the induced subgraph). Small-graph nx surface only —
+    the streaming coordinate form is ``pipelines.linalg``."""
+    g._ensure_built()
+    n = g.n
+    if n > _DENSE_NX_LIMIT:
+        raise NotImplementedError(
+            f"dense n×n output; n={n} > {_DENSE_NX_LIMIT} "
+            "(use pipelines.linalg for the coordinate Dataset form)"
+        )
+    A = np.zeros((n, n))
+    edges = g.edges_pandas()
+    if len(edges) and "src" in edges.columns:
+        s = edges["src"].to_numpy().astype(np.int64)
+        d = edges["dst"].to_numpy().astype(np.int64)
+        w = (
+            edges["weight"].to_numpy().astype(float)
+            if g.weighted and "weight" in edges.columns
+            else np.ones(s.size)
+        )
+        A[s, d] = w
+    if nodelist is not None:
+        ids = np.array([_id_of(g, k) for k in nodelist], dtype=np.int64)
+        A = A[np.ix_(ids, ids)]
+    return A
 
 
 class Dispatcher:
@@ -911,3 +1014,409 @@ class Dispatcher:
             personalization=_map_dict_in(g, personalization),
             dangling=_map_dict_in(g, dangling),
         )
+
+    # -- graph set operators (reference interface.py operators block;
+    #    label semantics from algorithms/operators/binary.py) -----------
+    @staticmethod
+    def _check_same_kind(g: Graph, h: Graph):
+        if g.directed != h.directed:
+            raise nx.NetworkXError("G and H must both be directed or undirected.")
+
+    @staticmethod
+    def union(graph1, graph2, rename=()):
+        from .pipelines.operators import disjoint_union
+
+        g, h = convert_from_nx(graph1, None), convert_from_nx(graph2, None)
+        Dispatcher._check_same_kind(g, h)
+        gk, hk = _keys_list(g), _keys_list(h)
+        if rename:
+            if rename[0] is not None:
+                gk = [f"{rename[0]}{k}" for k in gk]
+            if len(rename) > 1 and rename[1] is not None:
+                hk = [f"{rename[1]}{k}" for k in hk]
+        if not set(gk).isdisjoint(hk):
+            raise nx.NetworkXError("The node sets of the graphs are not disjoint.")
+        return _set_keys(disjoint_union(g, h), gk + hk)
+
+    @staticmethod
+    def disjoint_union(graph1, graph2):
+        from .pipelines.operators import disjoint_union
+
+        g, h = convert_from_nx(graph1, None), convert_from_nx(graph2, None)
+        Dispatcher._check_same_kind(g, h)
+        # nx relabels to 0..n-1 in node order — exactly our dense ids
+        out = disjoint_union(g, h)
+        out._id_to_key = None
+        out._key_to_id = None
+        return out
+
+    @staticmethod
+    def intersection(graph1, graph2):
+        from .pipelines.operators import intersection
+
+        g, h = convert_from_nx(graph1, None), convert_from_nx(graph2, None)
+        Dispatcher._check_same_kind(g, h)
+        gk, hk = _keys_list(g), _keys_list(h)
+        hset = {k: i for i, k in enumerate(hk)}
+        common = [k for k in gk if k in hset]  # G-id order (reference)
+        n_out = len(common)
+        tg = np.full(max(g.n or 0, 1), -1, dtype=np.int64)
+        th = np.full(max(h.n or 0, 1), -1, dtype=np.int64)
+        for i, k in enumerate(common):
+            tg[_id_of(g, k)] = i
+            th[hset[k]] = i
+        g2 = _remapped_graph(g, tg, n_out)
+        h2 = _remapped_graph(h, th, n_out)
+        out = intersection(g2, h2)
+        out.directed = g.directed
+        return _set_keys(out, common)
+
+    @staticmethod
+    def _aligned_pair(graph1, graph2):
+        """Shared difference/symmetric_difference prep: equal label sets
+        required; H permuted into G's id order."""
+        g, h = convert_from_nx(graph1, None), convert_from_nx(graph2, None)
+        Dispatcher._check_same_kind(g, h)
+        gk, hk = _keys_list(g), _keys_list(h)
+        if set(gk) != set(hk):
+            raise nx.NetworkXError("Node sets of graphs not equal")
+        gpos = {k: i for i, k in enumerate(gk)}
+        th = np.array([gpos[k] for k in hk], dtype=np.int64)
+        h2 = _remapped_graph(h, th, len(gk)) if len(gk) else h
+        h2.directed = g.directed
+        return g, h2, gk
+
+    @staticmethod
+    def difference(graph1, graph2):
+        from .pipelines.operators import difference
+
+        g, h2, gk = Dispatcher._aligned_pair(graph1, graph2)
+        out = difference(g, h2)
+        out.directed = g.directed
+        return _set_keys(out, gk)
+
+    @staticmethod
+    def symmetric_difference(graph1, graph2):
+        from .pipelines.operators import symmetric_difference
+
+        g, h2, gk = Dispatcher._aligned_pair(graph1, graph2)
+        out = symmetric_difference(g, h2)
+        out.directed = g.directed
+        return _set_keys(out, gk)
+
+    @staticmethod
+    def compose(graph1, graph2):
+        from .pipelines.operators import compose
+
+        g, h = convert_from_nx(graph1, None), convert_from_nx(graph2, None)
+        Dispatcher._check_same_kind(g, h)
+        gk, hk = _keys_list(g), _keys_list(h)
+        gpos = {k: i for i, k in enumerate(gk)}
+        out_keys = gk + [k for k in hk if k not in gpos]
+        n_out = len(out_keys)
+        tg = np.arange(max(g.n or 0, 1), dtype=np.int64)
+        opos = {k: i for i, k in enumerate(out_keys)}
+        th = np.array([opos[k] for k in hk], dtype=np.int64) if hk else np.array(
+            [-1], dtype=np.int64
+        )
+        g2 = _remapped_graph(g, tg, n_out)
+        h2 = _remapped_graph(h, th, n_out)
+        out = compose(g2, h2)
+        out.directed = g.directed
+        return _set_keys(out, out_keys)
+
+    @staticmethod
+    def complement(graph):
+        from .pipelines.operators import complement
+
+        g = convert_from_nx(graph, None)
+        out = complement(g)
+        return _set_keys(out, _keys_list(g))
+
+    @staticmethod
+    def reverse(graph, copy=True):
+        g = convert_from_nx(graph, None)
+        if not g.directed:
+            raise nx.NetworkXError("Cannot reverse an undirected graph.")
+        return _set_keys(g.reverse(), _keys_list(g))
+
+    @staticmethod
+    def full_join(graph1, graph2, rename=()):
+        from .pipelines.operators import full_join
+
+        g, h = convert_from_nx(graph1, None), convert_from_nx(graph2, None)
+        Dispatcher._check_same_kind(g, h)
+        gk, hk = _keys_list(g), _keys_list(h)
+        if rename:
+            if rename[0] is not None:
+                gk = [f"{rename[0]}{k}" for k in gk]
+            if len(rename) > 1 and rename[1] is not None:
+                hk = [f"{rename[1]}{k}" for k in hk]
+        if not set(gk).isdisjoint(hk):
+            raise nx.NetworkXError("The node sets of the graphs are not disjoint.")
+        return _set_keys(full_join(g, h), gk + hk)
+
+    # -- linalg (dense nx-facing fallbacks; the streaming coordinate
+    #    forms are pipelines/linalg.py — reference interface.py linalg
+    #    block. No scipy in this environment, so these return dense
+    #    numpy arrays rather than scipy sparse.) ------------------------
+    @staticmethod
+    def adjacency_matrix(graph, nodelist=None, dtype=None, weight="weight"):
+        g = convert_from_nx(graph, weight)
+        A = _dense_adjacency(g, nodelist)
+        return A.astype(dtype) if dtype is not None else A
+
+    @staticmethod
+    def laplacian_matrix(graph, nodelist=None, weight="weight"):
+        g = convert_from_nx(graph, weight)
+        A = _dense_adjacency(g, nodelist)
+        return np.diag(A.sum(axis=1)) - A
+
+    @staticmethod
+    def normalized_laplacian_matrix(graph, nodelist=None, weight="weight"):
+        g = convert_from_nx(graph, weight)
+        A = _dense_adjacency(g, nodelist)
+        d = A.sum(axis=1)
+        with np.errstate(divide="ignore"):
+            inv_sqrt = np.where(d > 0, 1.0 / np.sqrt(np.where(d > 0, d, 1.0)), 0.0)
+        L = np.diag(d) - A
+        return inv_sqrt[:, None] * L * inv_sqrt[None, :]
+
+    @staticmethod
+    def bethe_hessian_matrix(graph, r=None, nodelist=None):
+        # nx parity: A and D use the 'weight' attribute, but the default
+        # regularizer r comes from UNWEIGHTED degrees of the full graph
+        # (nx.linalg.bethehessianmatrix source)
+        g = convert_from_nx(graph, "weight")
+        if g.directed:
+            raise nx.NetworkXNotImplemented(
+                "not implemented for directed type"
+            )
+        A_full = _dense_adjacency(g)
+        if r is None:
+            d = (A_full != 0).sum(axis=1).astype(float)
+            # nx.degree counts a self loop twice
+            d = d + (np.diag(A_full) != 0)
+            denom = d.sum()
+            r = (d**2).sum() / denom - 1 if denom > 0 else -1.0
+        A = A_full
+        if nodelist is not None:
+            ids = np.array([_id_of(g, k) for k in nodelist], dtype=np.int64)
+            A = A_full[np.ix_(ids, ids)]
+        n = A.shape[0]
+        return (r**2 - 1) * np.eye(n) - r * A + np.diag(A.sum(axis=1))
+
+    @staticmethod
+    def modularity_matrix(graph, nodelist=None, weight=None):
+        g = convert_from_nx(graph, weight)
+        if g.directed:
+            raise nx.NetworkXNotImplemented(
+                "not implemented for directed type"
+            )
+        A = _dense_adjacency(g, nodelist)
+        k = A.sum(axis=1)
+        m = k.sum()
+        if m == 0:
+            return A
+        return A - np.outer(k, k) / m
+
+    @staticmethod
+    def directed_modularity_matrix(graph, nodelist=None, weight=None):
+        g = convert_from_nx(graph, weight)
+        if not g.directed:
+            raise nx.NetworkXNotImplemented(
+                "not implemented for undirected type"
+            )
+        A = _dense_adjacency(g, nodelist)
+        k_out, k_in = A.sum(axis=1), A.sum(axis=0)
+        m = A.sum()
+        if m == 0:
+            return A
+        return A - np.outer(k_out, k_in) / m
+
+    # -- cut expansions (reference interface.py cuts block) -------------
+    @staticmethod
+    def edge_expansion(graph, S, T=None, weight=None):
+        from .pipelines.cuts import cut_size
+
+        g = convert_from_nx(graph, weight)
+        S2 = _ids_in(g, S)
+        T2 = _ids_in(g, T) if T is not None else None
+        cut = cut_size(g, S2, T2, weighted=weight is not None)
+        nt = len(T2) if T2 is not None else _num_nodes(graph) - len(S2)
+        return cut / min(len(S2), nt)
+
+    @staticmethod
+    def mixing_expansion(graph, S, T=None, weight=None):
+        from .pipelines.cuts import cut_size, num_edges
+
+        g = convert_from_nx(graph, weight)
+        S2 = _ids_in(g, S)
+        T2 = _ids_in(g, T) if T is not None else None
+        cut = cut_size(g, S2, T2, weighted=weight is not None)
+        return cut / (2.0 * num_edges(g))
+
+    @staticmethod
+    def node_expansion(graph, S):
+        from .pipelines.cuts import node_expansion
+
+        g = convert_from_nx(graph, None)
+        return float(node_expansion(g, _ids_in(g, S)))
+
+    @staticmethod
+    def boundary_expansion(graph, S):
+        from .pipelines.cuts import boundary_expansion
+
+        g = convert_from_nx(graph, None)
+        return float(boundary_expansion(g, _ids_in(g, S)))
+
+    # -- community quality (reference interface.py community block) -----
+    @staticmethod
+    def _partition_counts(graph, partition):
+        from .pipelines.structure import partition_edge_counts
+
+        g = convert_from_nx(graph, None)
+        g._ensure_built()
+        comm = np.full(max(g.n, 1), -1, dtype=np.int64)
+        for i, block in enumerate(partition):
+            for k in block:  # ignore_extra=True semantics
+                if _contains(g, k):
+                    comm[_id_of(g, k)] = i
+        return partition_edge_counts(g, comm)
+
+    @staticmethod
+    def intra_community_edges(graph, partition):
+        return int(Dispatcher._partition_counts(graph, partition)["intra"])
+
+    @staticmethod
+    def inter_community_edges(graph, partition):
+        return int(Dispatcher._partition_counts(graph, partition)["inter"])
+
+    # -- shortest-path aliases (reference interface.py shortest_paths) --
+    @staticmethod
+    def bellman_ford_path_length(graph, source, target, weight="weight"):
+        from .pipelines.shortest_paths import Unbounded, bellman_ford_dict
+
+        g = convert_from_nx(graph, weight)
+        for node in (source, target):
+            if not _contains(g, node):
+                raise nx.NodeNotFound(f"Node {node} not found")
+        try:
+            d = bellman_ford_dict(g, _id_of(g, source))
+        except Unbounded as e:
+            raise nx.NetworkXUnbounded("Negative cycle detected.") from e
+        t = _id_of(g, target)
+        if t not in d:
+            raise nx.NetworkXNoPath(f"node {target} not reachable from {source}")
+        return float(d[t])
+
+    @staticmethod
+    def all_pairs_bellman_ford_path_length(graph, weight="weight", chunksize=64):
+        from .pipelines.shortest_paths import Unbounded, bellman_ford_path_lengths
+
+        g = convert_from_nx(graph, weight)
+        n = _num_nodes(g)
+        chunk = max(int(chunksize) if isinstance(chunksize, int) else 64, 1)
+
+        def _gen():
+            for lo in range(0, n, chunk):
+                sources = list(range(lo, min(lo + chunk, n)))
+                try:
+                    df = bellman_ford_path_lengths(g, sources).to_pandas()
+                except Unbounded as e:
+                    raise nx.NetworkXUnbounded("Negative cycle detected.") from e
+                per: dict[int, dict] = {s: {} for s in sources}
+                if len(df) and "source" in df.columns:
+                    for s, v, dist in zip(df["source"], df["v"], df["dist"]):
+                        per[int(s)][int(v)] = float(dist)
+                for s in sources:
+                    yield (_key_of(g, s), _map_keys(g, per[s]))
+
+        return _gen()
+
+    @staticmethod
+    def all_pairs_shortest_path_length(graph, cutoff=None, chunksize=64):
+        from .pipelines.allpairs import multi_source_bfs
+
+        g = convert_from_nx(graph, None)
+        n = _num_nodes(g)
+        chunk = max(int(chunksize) if isinstance(chunksize, int) else 64, 1)
+
+        def _gen():
+            for lo in range(0, n, chunk):
+                sources = list(range(lo, min(lo + chunk, n)))
+                df = multi_source_bfs(g, sources).to_pandas()
+                per: dict[int, dict] = {s: {} for s in sources}
+                if len(df) and "source" in df.columns:
+                    for s, v, lvl in zip(df["source"], df["v"], df["level"]):
+                        if cutoff is None or lvl <= cutoff:
+                            per[int(s)][int(v)] = int(lvl)
+                for s in sources:
+                    yield (_key_of(g, s), _map_keys(g, per[s]))
+
+        return _gen()
+
+    @staticmethod
+    def single_target_shortest_path_length(graph, target, cutoff=None):
+        from .pipelines.traversal import single_target_shortest_path_length
+
+        g = convert_from_nx(graph, None)
+        if not _contains(g, target):
+            raise nx.NodeNotFound(f"Target {target} is not in G")
+        d = {
+            int(r["v"]): int(r["level"])
+            for r in single_target_shortest_path_length(
+                g, _id_of(g, target), cutoff=cutoff
+            ).take_all()
+        }
+        if cutoff is not None:
+            d = {k: v for k, v in d.items() if v <= cutoff}
+        return _map_keys(g, d)
+
+    @staticmethod
+    def floyd_warshall_numpy(graph, nodelist=None, weight="weight"):
+        from .pipelines.small_fallbacks import floyd_warshall
+
+        g = convert_from_nx(graph, weight)
+        n = _num_nodes(g)
+        if nodelist is not None:
+            if not (len(nodelist) == n == len(set(nodelist))):
+                raise nx.NetworkXError(
+                    "nodelist must contain every node in G with no repeats."
+                )
+            perm = np.array([_id_of(g, k) for k in nodelist], dtype=np.int64)
+        else:
+            perm = None
+        D = np.full((n, n), np.inf)
+        for r in floyd_warshall(g).take_all():
+            D[int(r["src"]), int(r["dst"])] = float(r["dist"])
+        if perm is not None:
+            D = D[np.ix_(perm, perm)]
+        return D
+
+    # -- misc singletons -------------------------------------------------
+    @staticmethod
+    def mutual_weight(graph, u, v, weight=None):
+        from .pipelines.misc import mutual_weight
+
+        g = convert_from_nx(graph, weight)
+        if not _contains(g, u) or not _contains(g, v):
+            return 0
+        return mutual_weight(g, _id_of(g, u), _id_of(g, v))
+
+    @staticmethod
+    def tournament_matrix(graph):
+        from .pipelines.misc import tournament_matrix
+
+        g = convert_from_nx(graph, None)
+        if not g.directed:
+            raise nx.NetworkXNotImplemented("not implemented for undirected type")
+        g._ensure_built()
+        if g.n > _DENSE_NX_LIMIT:
+            raise NotImplementedError(
+                f"dense n×n output; n={g.n} > {_DENSE_NX_LIMIT}"
+            )
+        T = np.zeros((g.n, g.n))
+        for r in tournament_matrix(g).take_all():
+            T[int(r["row"]), int(r["col"])] += float(r["value"])
+        return T

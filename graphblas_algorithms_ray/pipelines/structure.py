@@ -362,3 +362,35 @@ def community_edge_counts(G, comm_fn) -> dict:
         ray.data.aggregate.Sum("inter", alias_name="inter"),
     )
     return {"intra": int(agg["intra"] or 0), "inter": int(agg["inter"] or 0)}
+
+
+def partition_edge_counts(G, comm: np.ndarray) -> dict:
+    """intra/inter community arc counts for a (possibly PARTIAL) node→block
+    assignment array (−1 = unassigned), with the reference's masking
+    semantics (``algorithms/community/quality.py:6-23``):
+
+      intra = #{(u,v) ∈ A : comm[u] == comm[v] != −1}
+      inter = #{(u,v) ∈ A : comm[v] != −1, comm[u] != comm[v]}
+
+    (inter requires only the DST to be assigned — the reference computes
+    ``A @ block`` masked ``~block.S``, so an unassigned src still counts,
+    an unassigned dst never does.) One streaming pass over the arc table."""
+    G._ensure_built()
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        cs = comm[t["src"].to_numpy(zero_copy_only=False)]
+        cd = comm[t["dst"].to_numpy(zero_copy_only=False)]
+        intra = int(((cs == cd) & (cd >= 0)).sum())
+        inter = int(((cs != cd) & (cd >= 0)).sum())
+        return pa.table(
+            {
+                "intra": pa.array([intra], pa.int64()),
+                "inter": pa.array([inter], pa.int64()),
+            }
+        )
+
+    agg = G.edges_ds().map_batches(_cnt, batch_format="pyarrow").aggregate(
+        ray.data.aggregate.Sum("intra", alias_name="intra"),
+        ray.data.aggregate.Sum("inter", alias_name="inter"),
+    )
+    return {"intra": int(agg["intra"] or 0), "inter": int(agg["inter"] or 0)}
