@@ -23,6 +23,7 @@ from .triangles import (
     _WedgeGen,
     _WedgeProbeEdges,
     _forward_graph,
+    _probe_chunks,
     _probe_key_refs,
     _tri_exchange,
 )
@@ -114,7 +115,7 @@ def edge_support(G) -> ray.data.Dataset:
             named(_ProbeEdgeSupport(fg.csr_refs, fg.n, P)), batch_format="pyarrow"
         )
     else:
-        support = ray.data.range(P, override_num_blocks=P).map_batches(
+        support = _probe_chunks(fg).map_batches(
             _WedgeProbeEdges(fg.csr_refs, _probe_key_refs(fg), P, fg.n),
             batch_format="pyarrow",
         )

@@ -320,15 +320,18 @@ class _WedgeGen:
         self.with_weights = with_weights
         self.max_w = max_w
 
-    def _wedge_chunks(self, csr):
-        """Yield (a, b, u, wp) numpy chunks; wp is None unless weighted
-        (then wp = ŵ_ua · ŵ_ub with ŵ = w / max_w)."""
+    def _wedge_chunks(self, csr, lo: int = 0, hi: int | None = None):
+        """Yield (a, b, u, wp) numpy chunks for LOCAL row range [lo, hi);
+        wp is None unless weighted (then wp = ŵ_ua · ŵ_ub with
+        ŵ = w / max_w)."""
         from .._util import concat_ranges
 
         srcs, indptr, dst = csr["srcs"], csr["indptr"], csr["dst"]
         w = csr.get("weight") if self.with_weights else None
         deg = np.diff(indptr)
-        rows = np.nonzero(deg >= 2)[0]
+        if hi is None:
+            hi = deg.size
+        rows = lo + np.nonzero(deg[lo:hi] >= 2)[0]
         if rows.size == 0:
             return
         dr = deg[rows]
@@ -401,6 +404,53 @@ def _probe_key_refs(fg):
     return fg._cache[key]
 
 
+@ray.remote
+def _shard_pair_bounds(csr, n_chunks: int):
+    """LOCAL row boundaries splitting this forward shard's wedge volume
+    (Σ d(d−1)/2 over rows) into ≈equal pieces. Cheap: one pass over
+    indptr, no edge data touched."""
+    deg = np.diff(csr["indptr"])
+    c = (deg.astype(np.int64) * (deg - 1) // 2).clip(min=0)
+    total = int(c.sum())
+    # a chunk below ~2M wedge pairs is dominated by task overhead — small
+    # shards stay whole (the gate's regime has >>2M pairs per shard)
+    n_chunks = min(n_chunks, -(-total // (1 << 21)))
+    if total == 0 or n_chunks <= 1:
+        return np.array([0, deg.size], np.int64)
+    cum = np.cumsum(c)
+    targets = np.linspace(0, total, n_chunks + 1)[1:-1]
+    cuts = np.searchsorted(cum, targets, side="left") + 1
+    return np.unique(np.concatenate([[0], cuts, [deg.size]])).astype(np.int64)
+
+
+def _probe_chunks(fg) -> "ray.data.Dataset":
+    """Chunk descriptors (id, lo, hi): each forward shard's wedge volume
+    split into equal-volume SOURCE ROW RANGES — the wedge join's
+    source-range chunking (the reference chunks its M×M the same way,
+    ``nxapi/cluster.py:82-121``). Decouples probe-task count from
+    num_parts: with P shards and C cores the probe otherwise runs P
+    long tasks whose tail is the densest shard; splitting to ~8 chunks
+    per core caps per-task wedge volume, so a straggler costs one chunk,
+    not a shard. Probe key arrays are plasma-shared either way — extra
+    chunks add only a zero-copy view fetch per task."""
+    P = fg.num_parts
+    cpus = int(ray.cluster_resources().get("CPU", P))
+    per_shard = max(1, -(-max(P, 8 * cpus) // P))  # ceil
+    key = ("probe_chunks", per_shard)
+    if key not in fg._cache:
+        bounds = ray.get(
+            [_shard_pair_bounds.remote(r, per_shard) for r in fg.csr_refs]
+        )
+        items = [
+            {"id": k, "lo": int(b[i]), "hi": int(b[i + 1])}
+            for k, b in enumerate(bounds)
+            for i in range(len(b) - 1)
+        ]
+        fg._cache[key] = items
+    items = fg._cache[key]
+    return ray.data.from_items(items, override_num_blocks=len(items))
+
+
 def _tri_exchange() -> str:
     """'probe' (default): confirm closing edges INSIDE the wedge-generator
     task against plasma-shared shard key arrays — wedge volume (O(Σ d+²)
@@ -454,9 +504,16 @@ class _WedgeProbe(_WedgeGen):
 
     def __call__(self, t: pa.Table):
         yielded = False
-        for k in t["id"].to_numpy(zero_copy_only=False):
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        # source-range chunk descriptors (id, lo, hi) from _probe_chunks;
+        # plain range(P) input (no lo/hi columns) means whole shards
+        los = t["lo"].to_numpy(zero_copy_only=False) if "lo" in t.column_names else None
+        his = t["hi"].to_numpy(zero_copy_only=False) if "lo" in t.column_names else None
+        for i, k in enumerate(ids):
             csr = ray.get(self.csr_refs[int(k)])
-            for a, b, u, wp in self._wedge_chunks(csr):
+            lo = int(los[i]) if los is not None else 0
+            hi = int(his[i]) if his is not None else None
+            for a, b, u, wp in self._wedge_chunks(csr, lo, hi):
                 out = self._emit_confirmed(a, b, u, wp)
                 if out is not None:
                     yield out
@@ -736,7 +793,7 @@ def weighted_triangle_sums(G) -> ray.data.Dataset:
             named(_ProbeWeighted(fg.csr_refs, fg.n, P, max_w)), batch_format="pyarrow"
         )
     else:
-        counts = ray.data.range(P, override_num_blocks=P).map_batches(
+        counts = _probe_chunks(fg).map_batches(
             _WedgeProbeCornersW(fg.csr_refs, _probe_key_refs(fg), P, fg.n, max_w),
             batch_format="pyarrow",
         )
@@ -761,7 +818,7 @@ def _corner_counts(G) -> tuple:
             named(_ProbeAndCount(fg.csr_refs, fg.n, P)), batch_format="pyarrow"
         )
     else:
-        counts = ray.data.range(P, override_num_blocks=P).map_batches(
+        counts = _probe_chunks(fg).map_batches(
             _WedgeProbeCorners(fg.csr_refs, _probe_key_refs(fg), P, fg.n),
             batch_format="pyarrow",
         )
