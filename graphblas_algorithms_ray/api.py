@@ -67,10 +67,23 @@ def lineitem_graph(sf_dir: str, directed: bool = True):
     return _graph_cache[key]
 
 
-def _docs(sf_dir):
+def _docs(sf_dir, columns=None):
+    """documents table, PRUNED AT THE READ: Ray 2.49 does not push a
+    later select_columns into ReadParquet (the plan keeps a separate
+    Project operator), so every query passes exactly the columns it
+    consumes — a lang/n_chars aggregate must not pay for the dominant
+    `text` column leaving storage."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _events(sf_dir, columns=None):
+    """events table, pruned at the read (same Ray 2.49 rationale): the
+    window/session/attribution queries never touch `props`."""
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _scalar_df(**cols) -> pd.DataFrame:
@@ -216,107 +229,107 @@ def q_community_edges(sf_dir):
 def q_doc_dedup(sf_dir):
     from .pipelines.text import exact_dedup
 
-    return exact_dedup(_docs(sf_dir))
+    return exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_doc_fingerprint(sf_dir):
     from .pipelines.text import doc_fingerprint
 
-    return doc_fingerprint(_docs(sf_dir))
+    return doc_fingerprint(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_token_stats(sf_dir):
     from .pipelines.text import token_stats
 
-    return token_stats(_docs(sf_dir))
+    return token_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_quality(sf_dir):
     from .pipelines.text import quality_score
 
-    return quality_score(_docs(sf_dir))
+    return quality_score(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_lang_distribution(sf_dir):
     from .pipelines.text import lang_distribution
 
-    return lang_distribution(_docs(sf_dir))
+    return lang_distribution(_docs(sf_dir, ["lang"]))
 
 
 def q_word_topk(sf_dir):
     from .pipelines.text import word_topk
 
-    return word_topk(_docs(sf_dir), k=20)
+    return word_topk(_docs(sf_dir, ["text"]), k=20)
 
 
 def q_top_docs_per_lang(sf_dir):
     from .pipelines.text import top_docs_per_lang
 
-    return top_docs_per_lang(_docs(sf_dir), k=3)
+    return top_docs_per_lang(_docs(sf_dir, ["doc_id", "lang", "n_chars"]), k=3)
 
 
 def q_median_chars_by_lang(sf_dir):
     from .pipelines.text import median_chars_by_lang
 
-    return median_chars_by_lang(_docs(sf_dir))
+    return median_chars_by_lang(_docs(sf_dir, ["lang", "n_chars"]))
 
 
 def q_tfidf_topk(sf_dir):
     from .pipelines.text import tfidf_topk
 
-    return tfidf_topk(_docs(sf_dir), k=3)
+    return tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=3)
 
 
 def q_bigram_topk(sf_dir):
     from .pipelines.text import bigram_topk
 
-    return bigram_topk(_docs(sf_dir), k=20)
+    return bigram_topk(_docs(sf_dir, ["text"]), k=20)
 
 
 def q_curation(sf_dir):
     from .pipelines.text import curate
 
-    return curate(_docs(sf_dir))
+    return curate(_docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
 def q_length_quantiles(sf_dir):
     from .pipelines.text import length_quantiles_by_lang
 
-    return length_quantiles_by_lang(_docs(sf_dir))
+    return length_quantiles_by_lang(_docs(sf_dir, ["lang", "n_chars"]))
 
 
 def q_assign_splits(sf_dir):
     from .pipelines.text import assign_splits
 
-    return assign_splits(_docs(sf_dir))
+    return assign_splits(_docs(sf_dir, ["doc_id"]))
 
 
 def q_events_hourly(sf_dir):
     import ray.data
     from .pipelines.events import hourly_windows
 
-    return hourly_windows(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+    return hourly_windows(_events(sf_dir, ["ts", "event_type", "value"]))
 
 
 def q_sessions(sf_dir):
     import ray.data
     from .pipelines.events import sessionize
 
-    return sessionize(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+    return sessionize(_events(sf_dir, ["event_id", "ts", "user_id"]))
 
 
 def q_sliding_windows(sf_dir):
     import ray.data
     from .pipelines.events import sliding_windows
 
-    return sliding_windows(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+    return sliding_windows(_events(sf_dir, ["ts", "event_type", "value"]))
 
 
 def q_purchase_attribution(sf_dir):
     import ray.data
     from .pipelines.events import purchase_attribution
 
-    return purchase_attribution(ray.data.read_parquet(f"{sf_dir}/events.parquet"))
+    return purchase_attribution(_events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
 
 
 def q_ann_topk(sf_dir):
@@ -464,7 +477,7 @@ def q_minhash_groups(sf_dir):
     from .pipelines.dedup import minhash_near_duplicates
 
     write_minhash_groups_expected(sf_dir, threshold=0.7)  # oracle side table
-    _, groups = minhash_near_duplicates(_docs(sf_dir), threshold=0.7)
+    _, groups = minhash_near_duplicates(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
     return groups
 
 
@@ -484,7 +497,7 @@ def q_ann_topk_lsh(sf_dir):
 def q_bpe_token_counts(sf_dir):
     from .pipelines.text import bpe_token_counts
 
-    return bpe_token_counts(_docs(sf_dir))
+    return bpe_token_counts(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_ngram_jaccard(sf_dir):
@@ -492,7 +505,7 @@ def q_ngram_jaccard(sf_dir):
     from .pipelines.dedup import ngram_jaccard_pairs
 
     write_ngram_jaccard_expected(sf_dir, threshold=0.5)  # oracle side table
-    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.5)
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
 
 
 def q_simhash(sf_dir):
@@ -500,13 +513,13 @@ def q_simhash(sf_dir):
     from .pipelines.dedup import simhash_fingerprints
 
     write_simhash_expected(sf_dir)  # oracle side table
-    return simhash_fingerprints(_docs(sf_dir))
+    return simhash_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_language_id(sf_dir):
     from .pipelines.text import language_id
 
-    return language_id(_docs(sf_dir))
+    return language_id(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def q_laplacian(sf_dir):

@@ -299,12 +299,29 @@ class _TopDocsPartial:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        df = t.select(["lang", "doc_id", "n_chars"]).to_pandas()
-        df = df.sort_values(
-            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
-        )
-        return pa.Table.from_pandas(
-            df.groupby("lang", sort=False).head(self.k), preserve_index=False
+        # Arrow-native top-k-per-group: one lexsort, then a vectorized
+        # per-run rank < k mask (no pandas hop; cost O(batch log batch))
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars = t["n_chars"].to_numpy(zero_copy_only=False)
+        if lang.size == 0:
+            return t.select(["lang", "doc_id", "n_chars"])
+        order = np.lexsort((doc_id, -n_chars, lang))
+        ls = lang[order]
+        new_run = np.empty(ls.size, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = ls[1:] != ls[:-1]
+        run_starts = np.nonzero(new_run)[0]
+        rank = np.arange(ls.size) - np.repeat(run_starts, np.diff(
+            np.append(run_starts, ls.size)
+        ))
+        keep = order[rank < self.k]
+        return pa.table(
+            {
+                "lang": pa.array(lang[keep]),
+                "doc_id": pa.array(doc_id[keep]),
+                "n_chars": pa.array(n_chars[keep]),
+            }
         )
 
 
@@ -329,9 +346,13 @@ class _LenHistPartial:
     """Per-batch combiner: (lang, n_chars) -> count histogram rows."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        df = t.select(["lang", "n_chars"]).to_pandas()
-        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow-native (lang, n_chars) histogram — no pandas hop
+        return (
+            t.select(["lang", "n_chars"])
+            .group_by(["lang", "n_chars"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "n_chars", "n"])
+        )
 
 
 class _HistMedian:
