@@ -270,6 +270,17 @@ def main():
             check=True,
         )
 
+        def host_state():
+            """(steal_ticks, total_ticks, load1): co-tenant bookends so a
+            later judge can adjudicate noisy windows without rerunning."""
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            ticks = [int(x) for x in parts[1:]]
+            with open("/proc/loadavg") as f:
+                load1 = float(f.read().split()[0])
+            steal = ticks[7] if len(ticks) > 7 else 0
+            return steal, sum(ticks), load1
+
         def run(ncpu):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
 
@@ -304,11 +315,26 @@ def main():
         rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
         factor = hi_n / lo_n
         pairs = []
+        bookends = []
         for _ in range(rounds):
+            pre = host_state()
             lo_i, hi_i = run(lo_n), run(hi_n)
+            post = host_state()
+            dt = max(post[1] - pre[1], 1)
+            bookends.append(
+                {
+                    "steal_pct": round(100.0 * (post[0] - pre[0]) / dt, 4),
+                    "load1_pre": pre[2],
+                    "load1_post": post[2],
+                }
+            )
             pairs.append((lo_i, hi_i, (lo_i["value"] / hi_i["value"]) / factor))
         lo = min((p[0] for p in pairs), key=lambda r: r["value"])
         hi = min((p[1] for p in pairs), key=lambda r: r["value"])
+        ratios = sorted(p[2] for p in pairs)
+        median_eff = ratios[len(ratios) // 2] if len(ratios) % 2 else (
+            ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]
+        ) / 2
         # north-rule criterion: PageRank throughput scaling (edges/sec);
         # whole-pipeline wall-clock scaling reported alongside as context
         pr_eff = (hi["edges_per_sec_pagerank"] / lo["edges_per_sec_pagerank"]) / factor
@@ -323,8 +349,12 @@ def main():
                     f"edges_per_sec_{hi_n}": hi["edges_per_sec_pagerank"],
                     "pagerank_scaling_efficiency": round(pr_eff, 3),
                     "scaling_efficiency": round(eff, 3),
+                    "scaling_efficiency_median_of_rounds": round(median_eff, 3),
+                    # per-stage detail comes from the SAME rounds as the
+                    # headline legs (the per-leg minima)
                     f"queries_{lo_n}": lo["queries"],
                     f"queries_{hi_n}": hi["queries"],
+                    "host_bookends": bookends,
                     "rounds": [
                         {
                             f"sec_{lo_n}": p[0]["value"],
@@ -341,6 +371,13 @@ def main():
                         }
                         for p in pairs
                     ],
+                    "headline_rule": (
+                        "scaling_efficiency = ratio of per-leg MINIMA across "
+                        "rounds (host noise only adds time to a leg); "
+                        "median-of-round-ratios reported alongside because "
+                        "leg noise is NOT independent across rounds "
+                        "(co-tenancy drifts over minutes) — gate on both"
+                    ),
                 }
             )
         )

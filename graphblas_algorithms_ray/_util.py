@@ -199,3 +199,29 @@ def chunk_rows(bytes_per_row: int, default: str = "64 MiB", env: str = "GRAFT_CH
 
     budget = parse_chunksize(os.environ.get(env, default))
     return max(1024, budget // max(1, bytes_per_row))
+
+
+def sweep_graph_workdirs(max_age_hours: float = 6.0) -> int:
+    """Remove per-Graph build directories under /tmp/gar/graphs older than
+    the age cutoff (each Graph build leaves one; a heavy pytest+scaling
+    session accumulates tens of GB). Age-gated so a concurrently-running
+    process's fresh builds are never touched. Returns directories removed."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    root = os.path.join(tempfile.gettempdir(), "gar", "graphs")
+    if not os.path.isdir(root):
+        return 0
+    cutoff = time.time() - max_age_hours * 3600
+    removed = 0
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        except OSError:
+            continue
+    return removed

@@ -86,6 +86,9 @@ def _events(sf_dir, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+_EXPECTED_DIR = "/tmp/gar/expected/sf0.01"  # driver correctness scale
+
+
 def _scalar_df(**cols) -> pd.DataFrame:
     return pd.DataFrame({k: [v] for k, v in cols.items()})
 
@@ -472,11 +475,35 @@ def q_katz(sf_dir):
     return df
 
 
+def _oracle_side_table(writer, sf_dir, *args, **kw):
+    """Run a single-process oracle writer and FAIL LOUDLY when its output
+    cannot back the pinned oracle SQL (ADVICE r4): the writers decline
+    above _MAX_ORACLE_ROWS, and ORACLE_SQL reads the driver-scale pinned
+    path — silently proceeding would compare the engine against a stale
+    or absent expected table."""
+    import os
+
+    path = writer(sf_dir, *args, **kw)
+    if path is None:
+        raise RuntimeError(
+            f"{writer.__name__} declined: {sf_dir} exceeds the "
+            "single-process oracle cap (_MAX_ORACLE_ROWS); this query's "
+            "hash oracle is only defined at the driver correctness scale"
+        )
+    if os.path.dirname(path) != _EXPECTED_DIR:
+        raise RuntimeError(
+            f"{writer.__name__} wrote {path}, but the pinned oracle SQL "
+            f"reads {_EXPECTED_DIR} — correctness comparison would be "
+            "cross-scale; run at the driver scale (sf0.01)"
+        )
+    return path
+
+
 def q_minhash_groups(sf_dir):
     from .oracle_truth import write_minhash_groups_expected
     from .pipelines.dedup import minhash_near_duplicates
 
-    write_minhash_groups_expected(sf_dir, threshold=0.7)  # oracle side table
+    _oracle_side_table(write_minhash_groups_expected, sf_dir, threshold=0.7)
     _, groups = minhash_near_duplicates(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
     return groups
 
@@ -487,8 +514,8 @@ def q_ann_topk_lsh(sf_dir):
     from .oracle_truth import write_ann_topk_lsh_expected
     from .pipelines.ann import ann_topk_lsh
 
-    write_ann_topk_lsh_expected(  # oracle side table
-        sf_dir, [0, 1, 2], k=5, bits=6, hamming_probes=2
+    _oracle_side_table(
+        write_ann_topk_lsh_expected, sf_dir, [0, 1, 2], k=5, bits=6, hamming_probes=2
     )
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     return ann_topk_lsh(emb, [0, 1, 2], k=5, bits=6, hamming_probes=2)
@@ -504,7 +531,7 @@ def q_ngram_jaccard(sf_dir):
     from .oracle_truth import write_ngram_jaccard_expected
     from .pipelines.dedup import ngram_jaccard_pairs
 
-    write_ngram_jaccard_expected(sf_dir, threshold=0.5)  # oracle side table
+    _oracle_side_table(write_ngram_jaccard_expected, sf_dir, threshold=0.5)
     return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
 
 
@@ -512,7 +539,7 @@ def q_simhash(sf_dir):
     from .oracle_truth import write_simhash_expected
     from .pipelines.dedup import simhash_fingerprints
 
-    write_simhash_expected(sf_dir)  # oracle side table
+    _oracle_side_table(write_simhash_expected, sf_dir)
     return simhash_fingerprints(_docs(sf_dir, ["doc_id", "text"]))
 
 
@@ -632,6 +659,20 @@ def q_corpus_extract_text(sf_dir):
 
 
 QUERIES = {
+    # The correctness driver records at most 50 queries per round; these
+    # ten had never landed a driver-recorded row by round 4 (they pass the
+    # full local oracle, tools/check_oracle.py), so they go FIRST and the
+    # long-recorded suite follows (VERDICT r4 #4).
+    "language_id": q_language_id,
+    "laplacian": q_laplacian,
+    "bethe_hessian": q_bethe_hessian,
+    "square_clustering": q_square_clustering,
+    "transitivity_directed": q_transitivity_directed,
+    "clustering_directed": q_clustering_directed,
+    "multi_source_bfs": q_multi_bfs,
+    "corpus_pagerank": q_corpus_pagerank,
+    "corpus_components": q_corpus_components,
+    "corpus_extract_text": q_corpus_extract_text,
     "edges": q_edges,
     "out_degree": q_out_degree,
     "in_degree": q_in_degree,
@@ -682,16 +723,6 @@ QUERIES = {
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "bpe_token_counts": q_bpe_token_counts,
-    "language_id": q_language_id,
-    "laplacian": q_laplacian,
-    "bethe_hessian": q_bethe_hessian,
-    "square_clustering": q_square_clustering,
-    "transitivity_directed": q_transitivity_directed,
-    "clustering_directed": q_clustering_directed,
-    "multi_source_bfs": q_multi_bfs,
-    "corpus_pagerank": q_corpus_pagerank,
-    "corpus_components": q_corpus_components,
-    "corpus_extract_text": q_corpus_extract_text,
 }
 
 
@@ -1215,7 +1246,7 @@ ORACLE_SQL["corpus_extract_text"] = (
 # naive loops + union-find, no shared code with the distributed pipelines.
 # The queries() callables write these before running; paths are pinned to
 # the driver's correctness scale, like the corpus-trio ground truth above.)
-_EXPECTED = "/tmp/gar/expected/sf0.01"
+_EXPECTED = _EXPECTED_DIR
 ORACLE_SQL["minhash_groups"] = (
     f"SELECT doc_id, \"group\" FROM read_parquet('{_EXPECTED}/minhash_groups.parquet') ORDER BY doc_id"
 )

@@ -227,7 +227,26 @@ class _CoarseKey:
         acc = np.zeros(t.num_rows, dtype=np.uint64)
         with np.errstate(over="ignore"):
             for c in self.cols:
-                v = t[c].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+                col = t[c]
+                if pa.types.is_integer(col.type):
+                    v = (
+                        col.to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                        .view(np.uint64)
+                    )
+                else:
+                    # string/float/etc keys: deterministic content hash
+                    # (polars xxhash, zero-copy from Arrow) — int64-casting
+                    # them would crash (strings) or MERGE distinct keys
+                    # (floats truncate: 1.2 and 1.7 → 1) (ADVICE r4)
+                    import polars as pl
+
+                    v = (
+                        pl.from_arrow(pa.table({"k": col})["k"])
+                        .hash(seed=17)
+                        .to_numpy()
+                        .astype(np.uint64)
+                    )
                 acc = (acc ^ v) * np.uint64(0x9E3779B97F4A7C15)
         return t.append_column(
             "__g", pa.array((acc % np.uint64(self.nb)).astype(np.int32))

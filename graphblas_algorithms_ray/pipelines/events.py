@@ -73,23 +73,41 @@ class _GroupedSessions:
     def __call__(self, g: pa.Table) -> pa.Table:
         ts_type = pa.timestamp("us")  # ns inputs normalize to us
         if g.num_rows == 0:
+            uid_type = (
+                g.schema.field("user_id").type
+                if g.schema.get_field_index("user_id") >= 0
+                else pa.int64()
+            )
             return pa.table(
                 {
-                    "user_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], uid_type),
                     "session_id": pa.array([], pa.int64()),
                     "n_events": pa.array([], pa.int64()),
                     "start_ts": pa.array([], ts_type),
                     "end_ts": pa.array([], ts_type),
                 }
             )
-        user = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ev = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        user_raw = g["user_id"].to_numpy(zero_copy_only=False)
+        ev_raw = g["event_id"].to_numpy(zero_copy_only=False)
+        # sort surrogates: integer ids sort as-is; string/float ids are
+        # factorized to dense ints (int64-casting would crash strings and
+        # MERGE distinct float ids via truncation — ADVICE r4). Output
+        # carries the ORIGINAL values either way.
+        if np.issubdtype(user_raw.dtype, np.integer):
+            user = user_raw.astype(np.int64)
+        else:
+            _, user = np.unique(user_raw, return_inverse=True)
+        if np.issubdtype(ev_raw.dtype, np.integer):
+            ev = ev_raw.astype(np.int64)
+        else:
+            _, ev = np.unique(ev_raw, return_inverse=True)
         ts_us = (
             pc.cast(pc.cast(g["ts"], pa.timestamp("us")), pa.int64())
             .to_numpy(zero_copy_only=False)
         )
         order = np.lexsort((ev, ts_us, user))
         u, t = user[order], ts_us[order]
+        u_raw = user_raw[order]
         new = np.ones(u.size, dtype=bool)
         new[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > self.gap_us)
         starts = np.flatnonzero(new)
@@ -107,7 +125,7 @@ class _GroupedSessions:
         end_ts = t[starts + counts - 1]
         return pa.table(
             {
-                "user_id": pa.array(su),
+                "user_id": pa.array(u_raw[starts]),
                 "session_id": pa.array(sid.astype(np.int64)),
                 "n_events": pa.array(counts.astype(np.int64)),
                 "start_ts": pa.array(start_ts).cast(ts_type),

@@ -282,6 +282,10 @@ class Graph:
 
     _seq = 0
     _seq_lock = threading.Lock()
+    _swept = False  # once-per-process stale-workdir sweep ran
+    # nx backend-graph protocol: marks engine Graphs as this backend's
+    # native graph objects (nx's test machinery and dispatcher check it)
+    __networkx_backend__ = "graphblas_ray"
 
     def __init__(
         self,
@@ -295,6 +299,7 @@ class Graph:
         dup: str = "sum",
         name: str | None = None,
         workdir: str | None = None,
+        pre_symmetrized: bool = False,
     ):
         self._edges_input = edges
         self.n = int(n) if n is not None else None  # resolved at build if None
@@ -303,6 +308,11 @@ class Graph:
         self.num_parts = num_parts or DEFAULT_NUM_PARTS
         self.keep_self = keep_self
         self.dup = dup
+        # pre_symmetrized: the input ALREADY contains both directions of
+        # every undirected edge (to_undirected's CSR-derived blocks) —
+        # _ensure_built must not symmetrize again. Explicit flag, not
+        # inferred from the input type (ADVICE r4).
+        self.pre_symmetrized = pre_symmetrized
         with Graph._seq_lock:
             Graph._seq += 1
             seq = Graph._seq
@@ -312,6 +322,16 @@ class Graph:
         )
         self._built = False
         self._cache: dict = {}
+        # once per process: age-sweep stale build dirs from earlier
+        # sessions so long-lived drivers keep bounded disk (VERDICT r4 #8)
+        if not Graph._swept:
+            Graph._swept = True
+            try:
+                from .._util import sweep_graph_workdirs
+
+                sweep_graph_workdirs()
+            except OSError:  # pragma: no cover — best-effort hygiene
+                pass
 
     # -- construction --------------------------------------------------
 
@@ -385,15 +405,22 @@ class Graph:
         if self._built:
             return
         pre = self._edges_input
-        if (
+        is_block_refs = (
             isinstance(pre, list)
             and pre
             and all(isinstance(b, ray.ObjectRef) for b in pre)
-        ):
+        )
+        if is_block_refs and not (self.directed or self.pre_symmetrized):
+            # one-direction block refs labeled undirected would silently
+            # build an asymmetric "undirected" graph (ADVICE r4) — the
+            # invariant is now an explicit constructor contract
+            raise ValueError(
+                "undirected block-ref input requires pre_symmetrized=True "
+                "(blocks must already carry both directions)"
+            )
+        if is_block_refs:
             # pre-materialized Arrow block refs (to_undirected's CSR-derived
             # blocks): no Dataset job at all before the hash shuffle.
-            # Blocks must already contain both directions when
-            # directed=False (see _csr_edges_both); n must be given.
             if self.n is None:
                 raise ValueError("block-ref input requires n")
             blocks = list(pre)
@@ -408,7 +435,7 @@ class Graph:
                 if ms is None:
                     raise ValueError("empty graph with no n given (PointlessConcept)")
                 self.n = int(max(ms, md)) + 1
-            if not self.directed:
+            if not self.directed and not self.pre_symmetrized:
                 ds = ds.union(ds.map_batches(_swap_batch, batch_format="pyarrow"))
             blocks = ds.materialize().to_arrow_refs()
 
@@ -501,6 +528,7 @@ class Graph:
                 num_parts=self.num_parts,
                 keep_self=self.keep_self,
                 name=self.name + "_und",
+                pre_symmetrized=True,  # _csr_edges_both emits both arcs
             )
             g._ensure_built()
             self._cache["undirected"] = g

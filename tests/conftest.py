@@ -23,6 +23,11 @@ def ray_session():
     ctx.execution_options.verbose_progress = False
     yield
     ray.shutdown()
+    # bounded disk: drop per-Graph build dirs from PREVIOUS sessions
+    # (age-gated so a concurrently-running bench's fresh builds survive)
+    from graphblas_algorithms_ray._util import sweep_graph_workdirs
+
+    sweep_graph_workdirs(max_age_hours=1.0)
 
 
 @pytest.fixture(scope="module", autouse=True)

@@ -28,4 +28,6 @@ python -m pytest -p tools.nx_conformance_plugin -q --pyargs \
     networkx.algorithms.shortest_paths.tests.test_dense \
     networkx.algorithms.traversal.tests.test_bfs \
     networkx.generators.tests.test_ego \
+    networkx.algorithms.operators.tests.test_binary \
+    networkx.algorithms.operators.tests.test_unary \
     "$@"
