@@ -26,17 +26,25 @@ def google_matrix(
     n = G.n
     if n > _DENSE_LIMIT:
         raise NotImplementedError(f"google_matrix is dense N^2; n={n} > {_DENSE_LIMIT}")
+    if n == 0:
+        return np.zeros((0, 0))  # nx parity: empty graph → (0, 0) matrix
     p = np.full(n, 1.0 / n)
     if personalization is not None:
         p = np.zeros(n)
         for k, v in personalization.items():
             p[int(k)] = float(v)
+        if p.sum() == 0:
+            # nx parity: an all-zero personalization vector raises (nx
+            # divides 1/sum in pure python; numpy would silently emit nan)
+            raise ZeroDivisionError("float division by zero")
         p = p / p.sum()
     dw = p
     if dangling is not None:
         dw = np.zeros(n)
         for k, v in dangling.items():
             dw[int(k)] = float(v)
+        if dw.sum() == 0:
+            raise ZeroDivisionError("float division by zero")
         dw = dw / dw.sum()
 
     @ray.remote

@@ -101,8 +101,15 @@ def pytest_collection_modifyitems(config, items):
         return
     skip = pytest.mark.skip(reason="scipy not installed (stubbed for dispatch only)")
     # tests that call scipy-backed nx internals directly without "scipy"
-    # in their node id (test_hits_not_convergent calls _hits_scipy inline)
-    extra = {"test_hits_not_convergent", "test_tournament_matrix"}
+    # in their node id (test_hits_not_convergent calls _hits_scipy inline;
+    # test_multigraph[pagerank]: the backend correctly REFUSES MultiGraph
+    # with NotImplementedError, and nx's own fallback nx.pagerank is
+    # scipy-backed — the stub can't carry it)
+    extra = {
+        "test_hits_not_convergent",
+        "test_tournament_matrix",
+        "test_multigraph[pagerank]",
+    }
     for item in items:
         if "scipy" in item.nodeid.lower() or item.name in extra:
             item.add_marker(skip)
