@@ -997,7 +997,7 @@ ORDER BY doc_id""",
   ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
   ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
 FROM documents GROUP BY lang ORDER BY lang""",
-    "bpe_token_counts": """SELECT doc_id,
+    "bpe_token_counts": r"""SELECT doc_id,
   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT AS n_bpe_tokens
 FROM documents ORDER BY doc_id""",
     "train_val_split": """SELECT doc_id,

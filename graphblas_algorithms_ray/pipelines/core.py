@@ -22,6 +22,7 @@ from ..state.graph import Graph
 from .triangles import (
     _WedgeGen,
     _WedgeProbeEdges,
+    _bloom_ref,
     _forward_graph,
     _probe_chunks,
     _probe_key_refs,
@@ -116,7 +117,9 @@ def edge_support(G) -> ray.data.Dataset:
         )
     else:
         support = _probe_chunks(fg).map_batches(
-            _WedgeProbeEdges(fg.csr_refs, _probe_key_refs(fg), P, fg.n),
+            _WedgeProbeEdges(
+                fg.csr_refs, _probe_key_refs(fg), P, fg.n, bloom_ref=_bloom_ref(fg)
+            ),
             batch_format="pyarrow",
         )
     counted = support.groupby("part").map_groups(

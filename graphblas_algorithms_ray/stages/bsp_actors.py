@@ -467,6 +467,10 @@ class _DenseWorker:
         self._dep(rnd, src, slabs, payload)
 
     async def run_chunk(self, k: int, stop_fn=None, start_step: int = 0, round_base: int = 0):
+        import time as _time
+
+        timing = bool(os.environ.get("GRAFT_DENSE_TIMING"))
+        tacc = {"compute": 0.0, "send": 0.0, "wait": 0.0, "combine": 0.0}
         prog = self.prog
         # How two slabs headed for the same destination part merge locally
         # (pre-aggregation across this worker's owned parts). Additive for
@@ -482,6 +486,7 @@ class _DenseWorker:
         gscalars: dict[int, float] = {}
         for i in range(k):
             rnd = round_base + i
+            t0 = _time.perf_counter() if timing else 0.0
             # per owned part: dense pieces for every destination part,
             # pre-summed across owned parts per destination
             dest: dict[int, np.ndarray] = {}
@@ -500,6 +505,9 @@ class _DenseWorker:
                         dest[j] = merge(cur, arr)
                     else:
                         cur += arr
+            if timing:
+                t1 = _time.perf_counter()
+                tacc["compute"] += t1 - t0
             payload = {("sc", sid): v for sid, v in scal.items()}
             payload.update({("st", sid): v for sid, v in prev_stats.items()})
             for a2, peer in enumerate(self.peers):
@@ -508,7 +516,13 @@ class _DenseWorker:
                     self._dep(rnd, self.a, slabs, payload)
                 else:
                     peer.deposit.remote(rnd, self.a, slabs, payload)
+            if timing:
+                t2 = _time.perf_counter()
+                tacc["send"] += t2 - t1
             await self._event(rnd).wait()
+            if timing:
+                t3 = _time.perf_counter()
+                tacc["wait"] += t3 - t2
             box = self._inbox.pop(rnd)
             self._events.pop(rnd, None)
             gall: dict = {}
@@ -523,11 +537,15 @@ class _DenseWorker:
                     stopped = True
                     break
             prev_stats = {}
+            if timing:
+                t3 = _time.perf_counter()
             for p in self.parts:
                 incoming = [sl[p] for sl, _ in box.values() if p in sl]
                 self.x[p], st_p = prog.combine(p, incoming, gscalars, self.x[p])
                 for sid, v in st_p.items():
                     prev_stats[sid] = prev_stats.get(sid, 0.0) + v
+            if timing:
+                tacc["combine"] += _time.perf_counter() - t3
             done = i + 1
         if not stopped and done:
             rnd = round_base + k
@@ -546,7 +564,16 @@ class _DenseWorker:
                     if key[0] == "st":
                         gstats_last[key[1]] = gstats_last.get(key[1], 0.0) + val
             hist[start_step + done - 1] = gstats_last
+        if timing:
+            acc = getattr(self, "_tacc", None)
+            if acc is None:
+                acc = self._tacc = {kk: 0.0 for kk in tacc}
+            for kk, v in tacc.items():
+                acc[kk] += v
         return hist, done, stopped
+
+    def get_timing(self):
+        return getattr(self, "_tacc", {})
 
     def extract(self) -> pa.Table:
         tabs = [self.prog.extract(p, self.x[p]) for p in self.parts if self.x[p] is not None]
