@@ -280,7 +280,11 @@ def label_propagation(G, max_iter: int = 30, chain: int = 5, executor: str = "da
         pool = DensePool(
             # sized by the semantic (directed) m so CC/LPA/pagerank share
             # one cached mesh instead of spawning a 2m-sized sibling
-            P, _LPADenseProg(g.csr_refs, n, P), num_actors=dense_actors_for(G.m)
+            P,
+            _LPADenseProg(g.csr_refs, n, P),
+            # LPA's per-superstep label bincounts dominate the exchange —
+            # the full-width mesh wins despite the contention tax
+            num_actors=dense_actors_for(G.m, heavy=True),
         )
         it = 0
         while it < max_iter:

@@ -297,6 +297,7 @@ def _forward_graph(G):
             num_parts=g.num_parts,
             dup="min",  # both symmetric copies carry the same weight
             name=g.name + "_fwd",
+            checkpoint_edges=False,  # derivable from the base graph
         )
         fg._ensure_built()
         g._cache[key] = (fg, rm)

@@ -243,24 +243,34 @@ def fused_min_edges() -> int:
 _DENSE_EDGES_PER_ACTOR = 100_000
 
 
-def dense_actors_for(m: int) -> int | None:
+def dense_actors_for(m: int, heavy: bool = False) -> int | None:
     """Auto-size the dense mesh to the graph: per-superstep cost is
     (compute m/A) + (exchange ~A² small RPCs), so small graphs want few
     actors — measured at 402k edges: A=32 2.7 s vs A=4 0.37 s for 20
     supersteps. ~100k edges per actor up to the CPU budget; returns None
-    (let DensePool decide) when GRAFT_DENSE_ACTORS explicitly pins A."""
+    (let DensePool decide) when GRAFT_DENSE_ACTORS explicitly pins A.
+
+    ``heavy``: per-superstep compute dominates the exchange (LPA's label
+    bincounts) — use the full CPU budget. Light programs (PageRank's one
+    gather+bincount, CC's min-reduceat) are exchange/latency-bound at full
+    width: a mesh of every core contends with the raylet, serialization
+    and deposit deserialization for the same cores — measured at 15.25M
+    edges / 8 CPUs: PageRank×20 A=8 2.08 s vs A=4 1.54 s, CC A=8 3.98 s
+    vs A=4 3.42 s, while LPA×5 prefers A=8 (11.3 s vs 13.2). Light caps
+    at cpus//2 (floor 2, so 2-core legs keep both workers)."""
     import os
 
     if os.environ.get("GRAFT_DENSE_ACTORS"):
         return None
     cpus = int(ray.cluster_resources().get("CPU", 1))
+    budget = cpus if heavy else max(2, cpus // 2)
     a = max(1, -(-m // _DENSE_EDGES_PER_ACTOR))
     # quantize to the power-of-two floor: nearby graph sizes (directed m
     # vs symmetrized 2m) then share a cached mesh instead of each keeping
     # a private actor pool alive, and the measured optimum at small m
     # sits at the lower A anyway
     a = 1 << (a.bit_length() - 1)
-    return max(2, min(cpus, a))
+    return max(2, min(budget, a))
 
 
 class StatBelow:
@@ -449,6 +459,20 @@ class _DenseWorker:
         self.peers = peers
         return True
 
+    def set_shape(self, aid: int, num_actors: int):
+        """Re-role this worker process inside a different-width mesh: the
+        process cache is per P (actor spawn + imports cost seconds), so a
+        pool of any width A reuses the first A spawned processes. Clears
+        per-run state; stale in-flight deposits land on old round ids
+        (round bases are monotone per P) and are never consumed."""
+        self.a = aid
+        self.A = num_actors
+        self.parts = list(range(aid, self.P, num_actors))
+        self.x = {}
+        self._inbox = {}
+        self._events = {}
+        return True
+
     def _event(self, rnd: int):
         import asyncio
 
@@ -603,7 +627,9 @@ class _DenseWorker:
 class DensePool:
     """Driver for the dense fused mesh. A = num_actors defaults to the Ray
     CPU budget (GRAFT_DENSE_ACTORS overrides); P stays the fixed partition
-    count. Meshes are cached per (P, A) — actor startup is paid once."""
+    count. Worker PROCESSES are cached per P and re-shaped per pool width
+    (set_shape), so actor startup is paid once even when light (cpus//2)
+    and heavy (full-width) meshes alternate."""
 
     _meshes: dict[tuple, list] = {}
     _bases: dict[tuple, int] = {}
@@ -619,33 +645,48 @@ class DensePool:
                 num_actors = int(ray.cluster_resources().get("CPU", num_parts))
         self.P = num_parts
         self.A = max(1, min(num_parts, num_actors))
-        key = (num_parts, self.A)
-        ws = DensePool._meshes.get(key)
-        fresh = ws is None
-        if fresh:
-            # bounded mesh cache: auto-sized A varies with graph size, so
-            # evict the oldest mesh past the cap (pools are per-call
-            # transients; only cached meshes keep actors alive)
-            while len(DensePool._meshes) >= 6:
-                old_key = next(iter(DensePool._meshes))
-                for w in DensePool._meshes.pop(old_key):
+        self.workers = self._lease(num_parts, self.A, prog)
+        self._key = num_parts
+
+    @classmethod
+    def _lease(cls, P: int, A: int, prog) -> list:
+        """First A worker processes of the per-P cache, re-shaped for this
+        pool's width. Processes are spawned once per P (actor startup +
+        imports cost seconds) and shared by every width A ≤ len(cache):
+        a light PageRank mesh at cpus//2 and a full-width LPA mesh reuse
+        the same processes back-to-back with only a set_shape RPC."""
+        procs = cls._meshes.get(P, [])
+        if len(procs) < A:
+            # bounded cache: evict other partition counts past the cap
+            while len(cls._meshes) >= 4:
+                old = next(iter(k for k in cls._meshes if k != P), None)
+                if old is None:
+                    break
+                for w in cls._meshes.pop(old):
                     ray.kill(w)
-                DensePool._bases.pop(old_key, None)
-            ws = [_DenseWorker.remote(a, self.A, num_parts) for a in range(self.A)]
-            DensePool._meshes[key] = ws
-        self.workers = ws
+                cls._bases.pop(old, None)
+            procs = procs + [
+                _DenseWorker.remote(a, A, P) for a in range(len(procs), A)
+            ]
+            cls._meshes[P] = procs
+        ws = procs[:A]
         try:
-            ray.get([w.set_prog.remote(prog) for w in self.workers])
+            ray.get([w.set_shape.remote(a, A) for a, w in enumerate(ws)])
+            ray.get([w.set_peers.remote(ws) for w in ws])
+            ray.get([w.set_prog.remote(prog) for w in ws])
         except ray.exceptions.RayActorError:
-            ws = [_DenseWorker.remote(a, self.A, num_parts) for a in range(self.A)]
-            DensePool._meshes[key] = ws
-            DensePool._bases.pop(key, None)
-            self.workers = ws
-            fresh = True
-            ray.get([w.set_prog.remote(prog) for w in self.workers])
-        if fresh:
-            ray.get([w.set_peers.remote(self.workers) for w in self.workers])
-        self._key = key
+            # a cached process died (e.g. killed between tests): respawn
+            for w in cls._meshes.pop(P, []):
+                try:
+                    ray.kill(w)
+                except Exception:
+                    pass
+            cls._bases.pop(P, None)
+            ws = [_DenseWorker.remote(a, A, P) for a in range(A)]
+            cls._meshes[P] = ws
+            ray.get([w.set_peers.remote(ws) for w in ws])
+            ray.get([w.set_prog.remote(prog) for w in ws])
+        return ws
 
     def run_fused(self, k: int, stop_fn=None, start_step: int = 0):
         base = DensePool._bases.get(self._key, 0)

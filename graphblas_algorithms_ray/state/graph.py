@@ -81,6 +81,19 @@ def _swap_batch(t: pa.Table) -> pa.Table:
 
 
 @ray.remote
+def _csr_edges(csr, weighted: bool) -> pa.Table:
+    """One part's deduped edge table straight from its pinned CSR shard
+    (single direction — the shard content IS the deduped edge list)."""
+    cols = {
+        "src": np.repeat(csr["srcs"], csr["row_cnt"]),
+        "dst": csr["dst"],
+    }
+    if weighted:
+        cols["weight"] = csr["weight"]
+    return pa.table(cols)
+
+
+@ray.remote
 def _csr_edges_both(csr, weighted: bool) -> pa.Table:
     """Edge table with BOTH directions, reconstructed from a CSR shard
     already pinned in plasma — symmetrize without re-reading the edge
@@ -300,6 +313,7 @@ class Graph:
         name: str | None = None,
         workdir: str | None = None,
         pre_symmetrized: bool = False,
+        checkpoint_edges: bool = True,
     ):
         self._edges_input = edges
         self.n = int(n) if n is not None else None  # resolved at build if None
@@ -313,6 +327,13 @@ class Graph:
         # _ensure_built must not symmetrize again. Explicit flag, not
         # inferred from the input type (ADVICE r4).
         self.pre_symmetrized = pre_symmetrized
+        # checkpoint_edges=False: derived graphs (to_undirected, the
+        # triangle forward orientation) skip the per-part deduped-parquet
+        # write — they are reconstructible from the base graph, and the
+        # write is pure disk amplification on the hot path. edges_ds()
+        # falls back to streaming the deduped edges straight from the
+        # plasma CSR shards.
+        self.checkpoint_edges = checkpoint_edges
         with Graph._seq_lock:
             Graph._seq += 1
             seq = Graph._seq
@@ -452,7 +473,11 @@ class Graph:
             frag_refs = [[f] for f in frag_refs]
         csr_refs, aux_refs, meta_refs = [], [], []
         for k in range(P):
-            path = os.path.join(edir, f"part_{k:05d}.parquet")
+            path = (
+                os.path.join(edir, f"part_{k:05d}.parquet")
+                if self.checkpoint_edges
+                else None
+            )
             c, a, m = _build_shard_from_frags.remote(
                 k,
                 self.n,
@@ -503,6 +528,7 @@ class Graph:
                 num_parts=self.num_parts,
                 keep_self=self.keep_self,
                 name=self.name + "_rev",
+                checkpoint_edges=False,  # derivable from the base graph
             )
             g._ensure_built()
             self._cache["reverse"] = g
@@ -529,6 +555,7 @@ class Graph:
                 keep_self=self.keep_self,
                 name=self.name + "_und",
                 pre_symmetrized=True,  # _csr_edges_both emits both arcs
+                checkpoint_edges=False,  # derivable from the base graph
             )
             g._ensure_built()
             self._cache["undirected"] = g
@@ -537,6 +564,12 @@ class Graph:
     def edges_ds(self) -> ray.data.Dataset:
         """The (deduped, partitioned) edge table as a Dataset."""
         self._ensure_built()
+        if not self.checkpoint_edges:
+            # no on-disk shards by design: stream the deduped edges
+            # straight from the plasma CSR shards (one tiny task per part)
+            return ray.data.from_arrow_refs(
+                [_csr_edges.remote(r, self.weighted) for r in self.csr_refs]
+            )
         paths = [
             os.path.join(self.workdir, "edges", f"part_{k:05d}.parquet")
             for k in range(self.num_parts)
