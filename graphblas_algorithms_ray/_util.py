@@ -62,24 +62,28 @@ def local_index(v: np.ndarray, num_parts: int) -> np.ndarray:
     return v // num_parts
 
 
-def concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+def concat_ranges(starts: np.ndarray, lens: np.ndarray, dtype=np.int64) -> np.ndarray:
     """Vectorized concatenation of ranges [starts[i], starts[i]+lens[i]).
 
     The classic cumsum trick — used to expand CSR adjacency slices for a
-    set of source rows without a Python loop.
+    set of source rows without a Python loop. ``dtype`` sets the OUTPUT
+    element width (int32 halves memory traffic when values fit); the
+    cumsums run in int64 regardless.
     """
     lens = lens.astype(np.int64, copy=False)
     nz = lens > 0
     if not nz.all():
         starts, lens = starts[nz], lens[nz]
     if starts.size == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=dtype)
     ends = np.cumsum(lens)
-    out = np.ones(ends[-1], dtype=np.int64)
+    # deltas and running positions fit the output dtype by contract
+    # (callers pass int32 only when every offset < 2^31)
+    out = np.ones(ends[-1], dtype=dtype)
     out[0] = starts[0]
     if starts.size > 1:
         out[ends[:-1]] = starts[1:] - starts[:-1] - lens[:-1] + 1
-    return np.cumsum(out)
+    return np.cumsum(out, dtype=dtype)
 
 
 # Unified iteration-state schema shared by all fixpoint kernels.

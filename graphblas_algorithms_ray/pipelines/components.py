@@ -84,6 +84,18 @@ class _CCDenseProg:
 
     def _layout(self, part):
         if part not in self._l:
+            # worker-process layout store — see _PRDenseProg._layout
+            store = getattr(self, "_store", None)
+            skey = None
+            if store is not None:
+                skey = (
+                    "cc",
+                    self.csr_refs[part].hex(),
+                    self.hub["fe_refs"][part].hex() if self.hub else None,
+                )
+                if skey in store:
+                    self._l[part] = store[skey]
+                    return self._l[part]
             csr = ray.get(self.csr_refs[part])
             P, n = self.P, self.n
             dst = csr["dst"]
@@ -121,6 +133,8 @@ class _CCDenseProg:
                 "usizes": [universe_size(j, n, P) for j in range(P)],
                 "fe": fe,
             }
+            if skey is not None:
+                store[skey] = self._l[part]
         return self._l[part]
 
     def init_state(self, part):

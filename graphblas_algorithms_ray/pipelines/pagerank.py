@@ -235,6 +235,26 @@ class _PRDenseProg:
 
     def _layout(self, part):
         if part not in self._l:
+            # worker-process layout store (bsp_actors._DenseWorker): reuse
+            # the structural layout across prog INSTANCES on the same
+            # graph — keyed by the csr shard ref, so graph identity is
+            # exact. p/dw/x0 refs are in the key (p_k/dw_k are baked in).
+            store = getattr(self, "_store", None)
+            skey = None
+            if store is not None:
+                skey = (
+                    "pr",
+                    self.csr_refs[part].hex(),
+                    self.weighted,
+                    self.p_ref.hex() if self.p_ref is not None else None,
+                    self.dw_ref.hex() if self.dw_ref is not None else None,
+                    # hub split filters edges out of the layout — same
+                    # graph with split on/off must not share (skew bench)
+                    self.hub["fe_refs"][part].hex() if self.hub else None,
+                )
+                if skey in store:
+                    self._l[part] = store[skey]
+                    return self._l[part]
             csr = ray.get(self.csr_refs[part])
             aux = ray.get(self.aux_refs[part])
             P, n = self.P, self.n
@@ -288,6 +308,8 @@ class _PRDenseProg:
                 "dw_k": dw_k,
                 "fe": fe,
             }
+            if skey is not None:
+                store[skey] = self._l[part]
         return self._l[part]
 
     def init_state(self, part):

@@ -335,6 +335,17 @@ class _WedgeGen:
         rows = lo + np.nonzero(deg[lo:hi] >= 2)[0]
         if rows.size == 0:
             return
+        # wedge-local arrays in int32 when ids fit: the expansion streams
+        # ~8 W-sized arrays per chunk and the probe stage is DRAM-bound at
+        # full concurrency — halving the element width is a direct
+        # bandwidth win (ints are indices/vertex ids < n; n ≥ 2^31 falls
+        # back to int64). NOTE numpy 1.x value-based casting: int32 arrays
+        # must be explicitly widened before any *n+b key packing.
+        it = np.int32 if (self.n < 2**31 and int(indptr[-1]) < 2**31) else np.int64
+        if it is np.int32:
+            srcs = srcs.astype(it)
+            dst = dst.astype(it)
+            indptr = indptr.astype(it)
         dr = deg[rows]
         cum = np.cumsum(dr * (dr - 1) // 2)  # pair counts, cumulative
         start = 0
@@ -342,15 +353,15 @@ class _WedgeGen:
             base = int(cum[start - 1]) if start else 0
             stop = int(np.searchsorted(cum, base + _CHUNK_PAIRS, side="left")) + 1
             stop = min(max(stop, start + 1), rows.size)
-            r = rows[start:stop]
-            dc = deg[r]
+            r = rows[start:stop].astype(it)
+            dc = deg[r].astype(it)
             heads_len = dc - 1
             head_row = np.repeat(r, heads_len)
-            head_local = concat_ranges(np.zeros(r.size, np.int64), heads_len)
+            head_local = concat_ranges(np.zeros(r.size, it), heads_len, dtype=it)
             lens2 = np.repeat(dc, heads_len) - 1 - head_local
             pair_row = np.repeat(head_row, lens2)
             a_local = np.repeat(head_local, lens2)
-            b_local = concat_ranges(head_local + 1, lens2)
+            b_local = concat_ranges(head_local + 1, lens2, dtype=it)
             off = indptr[pair_row]
             a = dst[off + a_local]
             b = dst[off + b_local]
@@ -370,9 +381,9 @@ class _WedgeGen:
             for a, b, u, wp in self._wedge_chunks(csr):
                 cols = {
                     "part": pa.array((a % self.P).astype(np.int32)),
-                    "a": pa.array(a),
-                    "b": pa.array(b),
-                    "u": pa.array(u),
+                    "a": pa.array(a.astype(np.int64, copy=False)),
+                    "b": pa.array(b.astype(np.int64, copy=False)),
+                    "u": pa.array(u.astype(np.int64, copy=False)),
                 }
                 if wp is not None:
                     cols["wp"] = pa.array(wp)
@@ -522,7 +533,9 @@ class _WedgeProbe(_WedgeGen):
     def _probe(self, a, b):
         """(ok, pos): confirmed mask and per-hit position in part(a)'s
         sorted key array (pos is only valid where ok)."""
-        want = a * np.int64(self.n) + b
+        # explicit widening: a/b may be int32 (wedge-local arrays), and
+        # numpy 1.x value-based casting would keep a*scalar in int32
+        want = a.astype(np.int64, copy=False) * np.int64(self.n) + b
         cand = None
         if self.bloom_ref is not None:
             if self._bloom is None:
@@ -593,7 +606,8 @@ class _WedgeProbeCorners(_WedgeProbe):
         ok, _ = self._probe(a, b)
         if not ok.any():
             return None
-        corners = np.concatenate([u[ok], a[ok], b[ok]])
+        # hits are rare — widen back to int64 at emit (downstream schema)
+        corners = np.concatenate([u[ok], a[ok], b[ok]]).astype(np.int64)
         uv, cnts = np.unique(corners, return_counts=True)
         return pa.table(
             {
@@ -628,7 +642,9 @@ class _WedgeProbeCornersW(_WedgeProbe):
         ok, pos = self._probe(a, b)
         if not ok.any():
             return None
-        ao, bo, uo = a[ok], b[ok], u[ok]
+        ao = a[ok].astype(np.int64)
+        bo = b[ok].astype(np.int64)
+        uo = u[ok].astype(np.int64)
         w_ab = np.empty(ao.size, dtype=np.float64)
         parts = (ao % self.P).astype(np.int64)
         for j in np.unique(parts):
@@ -667,7 +683,7 @@ class _WedgeProbeEdges(_WedgeProbe):
         ok, _ = self._probe(a, b)
         if not ok.any():
             return None
-        ua, ub, uu = a[ok], b[ok], u[ok]
+        ua, ub, uu = a[ok].astype(np.int64), b[ok].astype(np.int64), u[ok].astype(np.int64)
         # three edges per triangle, already canonical (u<a<b in rank space)
         eu = np.concatenate([uu, uu, ua])
         ew = np.concatenate([ua, ub, ub])

@@ -420,6 +420,14 @@ def graph_from_corpus(
     declared nodes)."""
     from ..state.graph import Graph
 
+    # kick the dense-mesh worker processes off NOW (fire-and-forget actor
+    # spawn): process startup + library imports cost seconds and would
+    # otherwise land inside the first iterative kernel's wall time — the
+    # ingest work below hides them completely
+    from ..stages.bsp_actors import DensePool
+
+    DensePool.prewarm(num_parts)
+
     # links extraction and the pruned page-url read are independent jobs
     # over the same input — overlap them (two Dataset executions from two
     # driver threads; ~0.5 s off the extract stage at sf0.1)

@@ -449,9 +449,19 @@ class _DenseWorker:
         self.x: dict[int, np.ndarray] = {}
         self._inbox: dict[int, dict] = {}
         self._events: dict[int, object] = {}
+        # per-process structural-layout cache: dense progs key their
+        # per-part edge layouts by (prog kind, csr shard ref, params), so
+        # a second prog instance over the same graph (e.g. the bench's
+        # convergence + throughput PageRank calls) skips the argsort/
+        # repeat rebuild. Survives set_prog AND set_shape (layouts are
+        # per part, independent of mesh width). FIFO-capped.
+        self._layout_store: dict = {}
 
     def set_prog(self, prog):
         self.prog = prog
+        prog._store = self._layout_store
+        while len(self._layout_store) > 128:
+            self._layout_store.pop(next(iter(self._layout_store)))
         self.x = {}
         return True
 
@@ -647,6 +657,26 @@ class DensePool:
         self.A = max(1, min(num_parts, num_actors))
         self.workers = self._lease(num_parts, self.A, prog)
         self._key = num_parts
+
+    @classmethod
+    def prewarm(cls, num_parts: int | None, width: int | None = None):
+        """Fire-and-forget spawn of the per-P worker processes (up to the
+        CPU budget) so process startup + imports overlap whatever the
+        driver does next (ingest paths call this). No RPC is awaited."""
+        if num_parts is None:
+            from ..state.graph import DEFAULT_NUM_PARTS
+
+            num_parts = DEFAULT_NUM_PARTS
+        P = num_parts
+        if width is None:
+            width = int(ray.cluster_resources().get("CPU", 2))
+        width = max(1, min(P, width))
+        procs = cls._meshes.get(P, [])
+        if len(procs) < width:
+            cls._meshes[P] = procs + [
+                _DenseWorker.remote(a, width, P)
+                for a in range(len(procs), width)
+            ]
 
     @classmethod
     def _lease(cls, P: int, A: int, prog) -> list:
