@@ -202,6 +202,305 @@ class _CCDenseProg:
         )
 
 
+@ray.remote
+def _cc_orient_shard(csr, n, P, in_thr):
+    """One DIRECTED CSR shard → its split-orientation CC layout.
+
+    Returns (called with ``num_returns=P+2``):
+      [0]      forward layout for this shard's own part: per-edge source
+               locals grouped by (dst part, dst local) — one fused-key
+               argsort, int32 when ids fit
+      [1..P]   backward fragments: fragment p holds this shard's edges
+               whose DESTINATION lives in part p, grouped by source local
+               — at runtime part p gathers x[d//P] and sends the per-source
+               minima back to THIS shard's part
+      [P+1]    in-hub flag: some destination receives ≥ in_thr edges from
+               this one shard (pigeonhole screen: a global in-degree hub
+               ≥ P·in_thr must trip it in at least one shard)
+    """
+    dst = csr["dst"]
+    E = dst.size
+    usz = (n + P - 1) // P or 1
+    # fused key max is P·usz ≈ n+P — need headroom beyond the id range
+    dt = np.int32 if n + P <= np.iinfo(np.int32).max else np.int64
+    slocal_rows = (csr["srcs"] // P).astype(dt)
+    gather = np.repeat(slocal_rows, csr["row_cnt"])
+    if E == 0:
+        fwd = {
+            "gather": gather,
+            "starts": np.empty(0, np.int64),
+            "seg_dlocal": np.empty(0, dt),
+            "pb": np.zeros(P + 1, np.int64),
+        }
+        return (fwd, *([None] * P), False)
+    # fused sort key (dst part major, dst local minor); int32 arithmetic
+    # when every id fits — halves sort + gather bandwidth
+    d = dst.astype(dt, copy=False)
+    dpart = d % P
+    dlocal = d // P
+    key = dpart * dt(usz) + dlocal
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    starts = np.nonzero(np.r_[True, ks[1:] != ks[:-1]])[0]
+    seg_sizes = np.diff(starts, append=E)
+    hub_hit = bool(seg_sizes.max() >= in_thr)
+    bounds = (np.arange(P + 1, dtype=np.int64) * usz).astype(dt)
+    fwd = {
+        "gather": gather[order],
+        "starts": starts,
+        "seg_dlocal": dlocal[order][starts],
+        "pb": np.searchsorted(ks[starts], bounds),
+    }
+    # backward: group by (dst part major, SOURCE local minor) — fragment p
+    # is handed to part p, which owns x[d] for every edge in it
+    key_b = dpart * dt(usz) + gather
+    order_b = np.argsort(key_b, kind="stable")
+    kbs = key_b[order_b]
+    qb = np.searchsorted(kbs, bounds)
+    dl_b = dlocal[order_b]
+    frags = []
+    for p in range(P):
+        s0, s1 = int(qb[p]), int(qb[p + 1])
+        if s1 == s0:
+            frags.append(None)
+            continue
+        seg = kbs[s0:s1]
+        st = np.nonzero(np.r_[True, seg[1:] != seg[:-1]])[0]
+        frags.append(
+            {"g": dl_b[s0:s1], "s": st, "v": (seg[st] - dt(p) * dt(usz)).astype(dt)}
+        )
+    return (fwd, *frags, hub_hit)
+
+
+@ray.remote
+def _cc_assemble_frags(P, *frags):
+    """Concatenate one part's P backward fragments into a single layout
+    object shaped like the forward one (gather / starts / seg_vals / pb) —
+    the prog then carries 2·P refs instead of P² (ref pickling into the
+    mesh workers was the dominant pool-construction cost) and the
+    backward pass is ONE reduceat instead of P."""
+    gs, sts, vals, pb = [], [], [], [0]
+    e_off = s_off = 0
+    for fr in frags:
+        if fr is None:
+            pb.append(s_off)
+            continue
+        gs.append(fr["g"])
+        sts.append(fr["s"] + e_off)
+        vals.append(fr["v"])
+        e_off += fr["g"].size
+        s_off += fr["s"].size
+        pb.append(s_off)
+    if not gs:
+        z = np.empty(0, np.int64)
+        return {"gather": z, "starts": z, "seg_vals": z, "pb": np.zeros(P + 1, np.int64)}
+    return {
+        "gather": np.concatenate(gs),
+        "starts": np.concatenate(sts),
+        "seg_vals": np.concatenate(vals),
+        "pb": np.asarray(pb, np.int64),
+    }
+
+
+class _CCSplitProg:
+    """Min-label CC directly over the DIRECTED CSR shards, both orientations.
+
+    Eliminates ``to_undirected`` from the CC stage: min is an idempotent
+    commutative monoid, so propagating over the raw directed edge set in
+    both directions (forward: owner of s sends x[s] to d; backward: owner
+    of d sends x[d] to s) converges to exactly the weakly-connected labels
+    — duplicate arcs (reciprocal edges that symmetrize would dedup) are
+    no-ops under min. Labels are int32 when ids fit (halves superstep
+    gather + exchange bandwidth). Hub-bearing graphs fall back to the
+    symmetrized ``_CCDenseProg`` path, whose hub machinery is exact.
+
+    Part-level frontier: a part whose labels did not change in the last
+    combine would re-send byte-identical pieces, already folded at every
+    destination — idempotence makes skipping the send exact."""
+
+    def __init__(self, fwd_refs, bk_refs, n, P, resume_refs=None):
+        self.fwd_refs = fwd_refs  # [P] → forward layout dicts
+        self.bk_refs = bk_refs  # [P] → assembled backward layout dicts
+        self.n, self.P = n, P
+        self.resume_refs = resume_refs
+        self.dt = np.int32 if n <= np.iinfo(np.int32).max else np.int64
+        self.sent = np.iinfo(self.dt).max
+        self._l = {}
+        self._quiet: set[int] = set()
+
+    merge_pieces = staticmethod(np.minimum)
+
+    def _layout(self, part):
+        if part not in self._l:
+            store = getattr(self, "_store", None)
+            skey = ("ccs", self.fwd_refs[part].hex())
+            if store is not None and skey in store:
+                self._l[part] = store[skey]
+                return self._l[part]
+            l = {
+                "fwd": ray.get(self.fwd_refs[part]),
+                "bk": ray.get(self.bk_refs[part]),
+                "usizes": [universe_size(j, self.n, self.P) for j in range(self.P)],
+            }
+            self._l[part] = l
+            if store is not None:
+                store[skey] = l
+        return self._l[part]
+
+    def init_state(self, part):
+        if self.resume_refs is not None:
+            return ray.get(self.resume_refs[part]).astype(self.dt)
+        return universe(part, self.n, self.P).astype(self.dt)
+
+    def make_pieces(self, part, x, gscalars):
+        if part in self._quiet:
+            return [None] * self.P, {}
+        l = self._layout(part)
+        fwd, usizes = l["fwd"], l["usizes"]
+        pieces = [None] * self.P
+        if fwd["starts"].size:
+            segm = np.minimum.reduceat(x[fwd["gather"]], fwd["starts"])
+            pb = fwd["pb"]
+            for j in range(self.P):
+                s0, s1 = int(pb[j]), int(pb[j + 1])
+                if s1 > s0:
+                    slab = np.full(usizes[j], self.sent, self.dt)
+                    slab[fwd["seg_dlocal"][s0:s1]] = segm[s0:s1]
+                    pieces[j] = slab
+        bk = l["bk"]
+        if bk["starts"].size:
+            segb = np.minimum.reduceat(x[bk["gather"]], bk["starts"])
+            qb, vals = bk["pb"], bk["seg_vals"]
+            for j in range(self.P):
+                s0, s1 = int(qb[j]), int(qb[j + 1])
+                if s1 == s0:
+                    continue
+                slab = pieces[j]
+                if slab is None:
+                    slab = np.full(usizes[j], self.sent, self.dt)
+                    slab[vals[s0:s1]] = segb[s0:s1]
+                    pieces[j] = slab
+                else:
+                    # seg positions are unique → gather/min/scatter beats .at
+                    slab[vals[s0:s1]] = np.minimum(slab[vals[s0:s1]], segb[s0:s1])
+        return pieces, {}
+
+    def combine(self, part, pieces, gscalars, x_prev):
+        new = x_prev
+        for p in pieces:
+            new = np.minimum(new, p)
+        changed = 0 if new is x_prev else int((new < x_prev).sum())
+        if changed:
+            self._quiet.discard(part)
+        else:
+            self._quiet.add(part)
+            new = x_prev
+        return new, {STAT_CHANGED: float(changed)}
+
+    def extract(self, part, x):
+        uni = universe(part, self.n, self.P)
+        return pa.table(
+            {
+                "v": pa.array(uni, pa.int64()),
+                "component": pa.array(x.astype(np.int64)),
+            }
+        )
+
+
+def _dense_cc_loop(pool, lineage, checkpoint_dir, checkpoint_every, max_iter, start_it):
+    """Shared driver loop for the dense CC meshes (sym and split-orientation):
+    run chained supersteps to fixpoint with periodic + final checkpoints."""
+    from ..stages.bsp_actors import StatBelow
+
+    it = start_it
+    while True:
+        k = 8 if max_iter is None else max(1, min(8, max_iter - it))
+        if checkpoint_every:
+            k = min(k, checkpoint_every)
+        hist, done, stopped = pool.run_fused(
+            k, StatBelow(STAT_CHANGED, 0.5), start_step=it
+        )
+        it += done
+        changed = hist.get(it - 1, {}).get(STAT_CHANGED, 0.0)
+        converged = stopped or changed == 0.0
+        periodic = checkpoint_every and done and (it - 1) % checkpoint_every < done
+        if checkpoint_dir and (periodic or converged):
+            pool.checkpoint(
+                checkpoint_dir,
+                it - 1,
+                {STAT_CHANGED: changed if not stopped else 0.0},
+                {**lineage, "converged": bool(converged)},
+            )
+        if converged:
+            break
+        if max_iter is not None and it >= max_iter:
+            break
+    return pool.extract()
+
+
+def _cc_split_orientation(G, *, max_iter, checkpoint_dir, checkpoint_every, resume):
+    """Split-orientation dense CC over a directed graph, or None to fall
+    back (row-format checkpoint to resume, or a hub that the symmetrized
+    path's hub machinery should own)."""
+    from ..stages.bsp_actors import (
+        DensePool,
+        dense_actors_for,
+        dense_part_refs,
+        latest_dense_checkpoint,
+    )
+    from ..stages.hubsplit import hub_split, hub_threshold
+
+    n, P = G.n, G.num_parts
+    if resume and checkpoint_dir:
+        if latest_dense_checkpoint(checkpoint_dir) is None and (
+            latest_checkpoint(checkpoint_dir) is not None
+        ):
+            return None  # row-format checkpoint resumes on the Dataset path
+    if hub_split(G) is not None:
+        return None  # out-degree hubs: sym path splits them across actors
+    cached = G._cache.get("cc_split_layout")
+    if cached is not None:
+        fwd_refs, bk_refs = cached
+    else:
+        in_thr = max(1, hub_threshold(2 * G.m, P) // P)
+        rets = [
+            _cc_orient_shard.options(num_returns=P + 2).remote(
+                G.csr_refs[q], n, P, in_thr
+            )
+            for q in range(P)
+        ]
+        if any(ray.get([r[P + 1] for r in rets])):
+            return None  # in-degree hub (pigeonhole screen): sym path owns it
+        fwd_refs = [r[0] for r in rets]
+        bk_refs = [
+            _cc_assemble_frags.remote(P, *[rets[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ]
+        G._cache["cc_split_layout"] = (fwd_refs, bk_refs)
+    start_it, resume_refs = 0, None
+    if resume and checkpoint_dir:
+        dck = latest_dense_checkpoint(checkpoint_dir)
+        if dck is not None:
+            ck_it, sdir, ck_stats = dck
+            if ck_stats.get(STAT_CHANGED, np.inf) == 0.0:
+                return ray.data.read_parquet(sdir)  # already converged
+            start_it = ck_it + 1
+            resume_refs = dense_part_refs(sdir)
+    pool = DensePool(
+        P,
+        _CCSplitProg(fwd_refs, bk_refs, n, P, resume_refs=resume_refs),
+        num_actors=dense_actors_for(G.m),
+    )
+    lineage = {
+        "algo": "connected_components",
+        "graph": G.workdir,
+        "n": n,
+        "m": G.m,
+        "orientation": "split",
+    }
+    return _dense_cc_loop(pool, lineage, checkpoint_dir, checkpoint_every, max_iter, start_it)
+
+
 class _CCSpMV:
     def __init__(self, csr_refs, num_parts, drop_stale_stats=False):
         self.cache = spmv.CsrCache(csr_refs)
@@ -294,11 +593,27 @@ def connected_components(
     propagation is idempotent at fixpoint, so overshooting is exact."""
     from ..stages.fixpoint import run_chain
 
+    if G.n == 0:
+        raise ValueError("null graph (PointlessConcept)")
+    if G.directed and executor in ("actors", "actors_dense"):
+        # Split-orientation fast path: skip to_undirected entirely and run
+        # min-label over the directed shards in both orientations (exact —
+        # min is idempotent, so parallel/duplicate arcs are no-ops).
+        # 2·m bounds the symmetrized edge count (dedup only shrinks it).
+        G._ensure_built()
+        if executor == "actors_dense" or 2 * G.m >= _fused_min_edges_cc():
+            ds = _cc_split_orientation(
+                G,
+                max_iter=max_iter,
+                checkpoint_dir=checkpoint_dir,
+                checkpoint_every=checkpoint_every,
+                resume=resume,
+            )
+            if ds is not None:
+                return ds
     g = G.to_undirected() if G.directed else G
     g._ensure_built()
     n, P = g.n, g.num_parts
-    if n == 0:
-        raise ValueError("null graph (PointlessConcept)")
 
     dense_route = executor == "actors_dense" or (
         executor == "actors" and g.m >= _fused_min_edges_cc()
@@ -347,30 +662,9 @@ def connected_components(
             num_actors=dense_actors_for(G.m),
         )
         lineage = {"algo": "connected_components", "graph": g.workdir, "n": n, "m": g.m}
-        it = start_it
-        while True:
-            k = 8 if max_iter is None else max(1, min(8, max_iter - it))
-            if checkpoint_every:
-                k = min(k, checkpoint_every)
-            hist, done, stopped = pool.run_fused(
-                k, StatBelow(STAT_CHANGED, 0.5), start_step=it
-            )
-            it += done
-            changed = hist.get(it - 1, {}).get(STAT_CHANGED, 0.0)
-            converged = stopped or changed == 0.0
-            periodic = checkpoint_every and done and (it - 1) % checkpoint_every < done
-            if checkpoint_dir and (periodic or converged):
-                pool.checkpoint(
-                    checkpoint_dir,
-                    it - 1,
-                    {STAT_CHANGED: changed if not stopped else 0.0},
-                    {**lineage, "converged": bool(converged)},
-                )
-            if converged:
-                break
-            if max_iter is not None and it >= max_iter:
-                break
-        return pool.extract()
+        return _dense_cc_loop(
+            pool, lineage, checkpoint_dir, checkpoint_every, max_iter, start_it
+        )
 
     start_it, state = 0, None
     if resume and checkpoint_dir:
