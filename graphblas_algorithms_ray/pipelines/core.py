@@ -110,7 +110,7 @@ def edge_support(G) -> ray.data.Dataset:
     P = fg.num_parts
     if _tri_exchange() == "shuffle":
         wedges = ray.data.range(P, override_num_blocks=P).map_batches(
-            _WedgeGen(fg.csr_refs, P), batch_format="pyarrow"
+            _WedgeGen(fg.csr_refs, P, fg.n), batch_format="pyarrow"
         )
         support = wedges.groupby("part").map_groups(
             named(_ProbeEdgeSupport(fg.csr_refs, fg.n, P)), batch_format="pyarrow"

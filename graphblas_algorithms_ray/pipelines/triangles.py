@@ -315,9 +315,10 @@ class _WedgeGen:
     single hub row may overshoot, but its pair count is bounded by the
     arboricity ordering."""
 
-    def __init__(self, csr_refs, num_parts, with_weights: bool = False, max_w: float = 1.0):
+    def __init__(self, csr_refs, num_parts, n, with_weights: bool = False, max_w: float = 1.0):
         self.csr_refs = csr_refs
         self.P = num_parts
+        self.n = n
         self.with_weights = with_weights
         self.max_w = max_w
 
@@ -518,9 +519,8 @@ class _WedgeProbe(_WedgeGen):
         self, csr_refs, key_refs, num_parts, n, with_weights=False, max_w=1.0,
         bloom_ref=None,
     ):
-        super().__init__(csr_refs, num_parts, with_weights, max_w)
+        super().__init__(csr_refs, num_parts, n, with_weights, max_w)
         self.key_refs = key_refs
-        self.n = n
         self.bloom_ref = bloom_ref
         self._bloom = None
         self._keys: dict[int, np.ndarray] = {}
@@ -864,7 +864,7 @@ def weighted_triangle_sums(G) -> ray.data.Dataset:
         max_w = 1.0
     if _tri_exchange() == "shuffle":
         wedges = ray.data.range(P, override_num_blocks=P).map_batches(
-            _WedgeGen(fg.csr_refs, P, with_weights=True, max_w=max_w),
+            _WedgeGen(fg.csr_refs, P, fg.n, with_weights=True, max_w=max_w),
             batch_format="pyarrow",
         )
         counts = wedges.groupby("part").map_groups(
@@ -893,7 +893,7 @@ def _corner_counts(G) -> tuple:
     P = fg.num_parts
     if _tri_exchange() == "shuffle":
         wedges = ray.data.range(P, override_num_blocks=P).map_batches(
-            _WedgeGen(fg.csr_refs, P), batch_format="pyarrow"
+            _WedgeGen(fg.csr_refs, P, fg.n), batch_format="pyarrow"
         )
         counts = wedges.groupby("part").map_groups(
             named(_ProbeAndCount(fg.csr_refs, fg.n, P)), batch_format="pyarrow"

@@ -185,3 +185,38 @@ def test_sharded_rank_weighted():
             assert abs(ours[v] - theirs[v]) < 1e-12, v
     finally:
         os.environ.pop("GRAFT_RANK_DIST_MIN_N", None)
+
+
+def test_shuffle_exchange_parity():
+    """GRAFT_TRI_EXCHANGE=shuffle (the >10^10-edge formulation) must match
+    the default in-task probe on counts, per-node triangles, edge support,
+    and the weighted cbrt kernel (r5 regression: _WedgeGen lost its n)."""
+    import os
+
+    from graphblas_algorithms_ray.pipelines.core import edge_support
+
+    rng = np.random.RandomState(7)
+    G = nx.gnp_random_graph(50, 0.15, seed=7)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.randint(1, 9))
+    edges = [(u, v, G[u][v]["weight"]) for u, v in G.edges()]
+
+    def run_all():
+        g = Graph(edges, n=50, directed=False, weighted=True, num_parts=3)
+        tri = triangles_dict(g)
+        es = edge_support(g).to_pandas().sort_values(["u", "w"]).reset_index(drop=True)
+        cw = clustering(g, weight="weight").to_pandas().set_index("v")["clustering"].to_dict()
+        return total_triangles(g), tri, es, cw
+
+    os.environ["GRAFT_TRI_EXCHANGE"] = "shuffle"
+    try:
+        t_sh, tri_sh, es_sh, cw_sh = run_all()
+    finally:
+        os.environ.pop("GRAFT_TRI_EXCHANGE", None)
+    t_pr, tri_pr, es_pr, cw_pr = run_all()
+    assert t_sh == t_pr
+    assert tri_sh == tri_pr
+    assert es_sh.equals(es_pr)
+    assert cw_sh.keys() == cw_pr.keys()
+    for v in cw_pr:
+        assert abs(cw_sh[v] - cw_pr[v]) < 1e-12
