@@ -164,7 +164,9 @@ def _build_shard_impl(src, dst, w, path, k, n, num_parts, keep_self, dup, weight
     # larger scales switch to lexsort on (src, dst).
     if src.size:
         key = src * np.int64(n) + dst
-        order = np.argsort(key, kind="stable")
+        # unstable introsort: duplicate keys are aggregated with commutative
+        # ops (sum/min), so tie order is irrelevant — ~2x over mergesort
+        order = np.argsort(key)
         key_s = key[order]
         uniq_mask = np.empty(key_s.shape, dtype=bool)
         uniq_mask[0] = True
@@ -183,7 +185,18 @@ def _build_shard_impl(src, dst, w, path, k, n, num_parts, keep_self, dup, weight
         src = src[order][uniq_mask]
         dst = dst[order][uniq_mask]
 
-    srcs, counts = np.unique(src, return_counts=True)
+    # src is sorted (dedup sorted by src*n+dst) — row boundaries by diff,
+    # not a second O(m log m) np.unique sort pass
+    if src.size:
+        rb = np.empty(src.size, dtype=bool)
+        rb[0] = True
+        np.not_equal(src[1:], src[:-1], out=rb[1:])
+        starts = np.flatnonzero(rb)
+        srcs = src[starts]
+        counts = np.diff(np.append(starts, src.size))
+    else:
+        srcs = src[:0]
+        counts = np.zeros(0, dtype=np.int64)
     indptr = np.zeros(srcs.size + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
     row_self = np.zeros(srcs.size, dtype=np.int64)
@@ -191,8 +204,8 @@ def _build_shard_impl(src, dst, w, path, k, n, num_parts, keep_self, dup, weight
         pos = np.searchsorted(srcs, src[src == dst])
         np.add.at(row_self, pos, 1)
     if w is not None:
-        row_wsum = np.zeros(srcs.size, dtype=np.float64)
-        np.add.at(row_wsum, np.searchsorted(srcs, src), w)
+        # positions are non-decreasing (src sorted) — segment-sum, not add.at
+        row_wsum = np.add.reduceat(w, starts) if src.size else np.zeros(0)
     else:
         row_wsum = counts.astype(np.float64)
 
