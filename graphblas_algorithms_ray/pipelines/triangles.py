@@ -427,30 +427,53 @@ _BLOOM_C1 = np.uint64(0x9E3779B97F4A7C15)
 _BLOOM_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
+def _bloom_logb(n_keys: int) -> int:
+    return min(30, max(20, int(np.ceil(np.log2(max(n_keys, 1) * 16.0)))))
+
+
 @ray.remote
-def _build_bloom(n_keys: int, *key_arrays):
-    """Packed 2-hash Bloom bitmap over all forward edge keys. Sized at
-    ~16 bits/key (fp ≈ 1%), clamped to [2^20, 2^30] bits (128 KiB–128 MiB);
-    one plasma object shared zero-copy by every probe task. PACKED on
-    purpose: at 15M keys the bitmap is 32 MiB ≈ LLC-sized, so probe
-    gathers mostly hit cache — an unpacked bool bitmap (8×) measured 2×
-    slower cold despite skipping the packbits pass."""
-    logb = min(30, max(20, int(np.ceil(np.log2(max(n_keys, 1) * 16.0)))))
+def _build_bloom_part(logb: int, *key_groups):
+    """Packed partial bitmap over a GROUP of shards' keys. The serial
+    whole-graph scatter was a ~3 s fixed cost gating every probe task at
+    the scaling gate; ~num_cpus group partials run on all cores (each
+    pays the bitmap zero + packbits pass once, not once per shard) and
+    the OR reduction below touches only packed bytes (bitmap/8 per
+    group)."""
     sh = np.uint64(64 - logb)
     bb = np.zeros(1 << logb, dtype=bool)
-    for k in key_arrays:
-        if k.size == 0:
-            continue
-        ku = k.astype(np.uint64)
-        bb[(ku * _BLOOM_C1) >> sh] = True
-        bb[(ku * _BLOOM_C2) >> sh] = True
-    return np.packbits(bb), logb
+    for keys in key_groups:
+        if keys.size:
+            ku = keys.astype(np.uint64)
+            bb[(ku * _BLOOM_C1) >> sh] = True
+            bb[(ku * _BLOOM_C2) >> sh] = True
+    return np.packbits(bb)
+
+
+@ray.remote
+def _or_blooms(logb: int, *packed):
+    """OR-reduce per-shard packed bitmaps → the shared probe filter.
+    Sized at ~16 bits/key (fp ≈ 1%), clamped to [2^20, 2^30] bits
+    (128 KiB–128 MiB); one plasma object shared zero-copy by every probe
+    task. PACKED on purpose: at 15M keys the bitmap is 32 MiB ≈
+    LLC-sized, so probe gathers mostly hit cache — an unpacked bool
+    bitmap (8×) measured 2× slower cold despite skipping the packbits
+    pass. The filter is exact-by-construction: positives (incl. false
+    positives) are verified by the per-part searchsorted."""
+    acc = packed[0].copy()
+    for p in packed[1:]:
+        np.bitwise_or(acc, p, out=acc)
+    return acc, logb
 
 
 def _bloom_ref(fg):
     key = "probe_bloom"
     if key not in fg._cache:
-        fg._cache[key] = _build_bloom.remote(max(fg.m, 1), *_probe_key_refs(fg))
+        logb = _bloom_logb(max(fg.m, 1))
+        refs = _probe_key_refs(fg)
+        n_tasks = max(1, min(len(refs), int(ray.cluster_resources().get("CPU", 8))))
+        groups = [refs[i::n_tasks] for i in range(n_tasks)]
+        parts = [_build_bloom_part.remote(logb, *grp) for grp in groups if grp]
+        fg._cache[key] = _or_blooms.remote(logb, *parts)
     return fg._cache[key]
 
 
