@@ -152,15 +152,35 @@ class _LPADenseProg:
         # votes are counted in combine() from per-dst-part foreign arrays,
         # with hub labels riding the round's scalar all-reduce.
         self.hub = hub
+        # int32 tier: label values are vertex ids (< n) and the per-edge
+        # index streams (edge_row, srcs_local) fit int32 at any n the
+        # dense mesh handles — halves the DRAM traffic of the superstep
+        # gathers (the stage is bandwidth-bound at 8 saturated cores).
+        # The (dst_local, label) composite COUNT key stays int64.
+        self.dt = np.int32 if n <= np.iinfo(np.int32).max else np.int64
         self._l = {}  # keyed by part: workers own range(aid, P, A) parts
 
     def _layout(self, part):
         if part not in self._l:
+            # worker-process layout store (bsp_actors._DenseWorker): reuse
+            # structural layouts across prog instances on the same graph
+            store = getattr(self, "_store", None)
+            skey = None
+            if store is not None:
+                skey = (
+                    "lpa",
+                    self.csr_refs[part].hex(),
+                    self.hub["fe_refs"][part].hex() if self.hub else None,
+                )
+                if skey in store:
+                    self._l[part] = store[skey]
+                    return self._l[part]
             csr = ray.get(self.csr_refs[part])
             P = self.P
+            dt = self.dt
             dst = csr["dst"]
             nrows = csr["srcs"].size
-            edge_row = np.repeat(np.arange(nrows, dtype=np.int64), csr["row_cnt"])
+            edge_row = np.repeat(np.arange(nrows, dtype=dt), csr["row_cnt"])
             fe = None
             if self.hub is not None:
                 from ..stages.hubsplit import hub_edge_keep
@@ -170,19 +190,23 @@ class _LPADenseProg:
                     dst = dst[keep]
                     edge_row = edge_row[keep]
                 fe = ray.get(self.hub["fe_refs"][part])
-            dpart = (dst % P).astype(np.int64)
+            dpart = (dst % P).astype(dt)
             order = np.argsort(dpart, kind="stable")
             self._l[part] = {
-                "srcs_local": csr["srcs"] // P,
+                "srcs_local": (csr["srcs"] // P).astype(dt),
                 "edge_row": edge_row[order],
-                "dlocal": (dst // P)[order],
+                # premultiplied destination key (static): key = dmul + lab
+                # per superstep — one add, no runtime multiply/astype
+                "dmul": (dst // P)[order].astype(np.int64) * np.int64(self.n),
                 "bounds": np.searchsorted(dpart[order], np.arange(P + 1)),
                 "fe": fe,
             }
+            if store is not None:
+                store[skey] = self._l[part]
         return self._l[part]
 
     def init_state(self, part):
-        return universe(part, self.n, self.P).astype(np.int64)
+        return universe(part, self.n, self.P).astype(self.dt)
 
     @staticmethod
     def merge_pieces(cur, arr):
@@ -205,12 +229,11 @@ class _LPADenseProg:
                     sc[HUB_STAT_BASE + int(i)] = float(x[lo])
         lab = x[l["srcs_local"]][l["edge_row"]]
         b = l["bounds"]
-        n = self.n
         pieces = []
         for j in range(self.P):
             s0, s1 = int(b[j]), int(b[j + 1])
             if s1 > s0:
-                key = l["dlocal"][s0:s1] * n + lab[s0:s1]
+                key = l["dmul"][s0:s1] + lab[s0:s1]
                 uk, cnt = np.unique(key, return_counts=True)
                 pieces.append((uk, cnt.astype(np.int64)))
             else:
@@ -228,7 +251,7 @@ class _LPADenseProg:
                 gscalars, None, self.hub["vids"].size,
                 self.hub["vids"].astype(np.float64),
             ).astype(np.int64)
-            key_f = fe["dlocal"] * self.n + hl[fe["fsrc"]]
+            key_f = fe["dlocal"].astype(np.int64) * self.n + hl[fe["fsrc"]]
             uk_f, cnt_f = np.unique(key_f, return_counts=True)
             live.append((uk_f, cnt_f.astype(np.int64)))
         new = x_prev.copy()  # vertices with no in-messages keep their label
@@ -245,14 +268,15 @@ class _LPADenseProg:
             ko = uk[order]
             dso, lso = ko // self.n, ko % self.n
             _, first = np.unique(dso, return_index=True)
-            new[dso[first]] = lso[first]
+            new[dso[first]] = lso[first].astype(new.dtype)
         changed = int((new != x_prev).sum())
         return new, {STAT_CHANGED: float(changed)}
 
     def extract(self, part, x):
         uni = universe(part, self.n, self.P)
         return pa.table(
-            {"v": pa.array(uni, pa.int64()), "label": pa.array(x, pa.int64())}
+            {"v": pa.array(uni, pa.int64()),
+             "label": pa.array(x.astype(np.int64, copy=False), pa.int64())}
         )
 
 
