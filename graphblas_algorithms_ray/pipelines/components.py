@@ -438,6 +438,35 @@ def _dense_cc_loop(pool, lineage, checkpoint_dir, checkpoint_every, max_iter, st
     return pool.extract()
 
 
+def cc_split_layout_refs(G):
+    """Task-built split-orientation layouts (fwd_refs, bk_refs) for CC,
+    cached on the graph; None when an in-degree hub makes the symmetrized
+    path the right owner. Lock-guarded: Graph.prefetch_derived may build
+    this on a background thread while PageRank runs."""
+    from ..stages.hubsplit import hub_threshold
+
+    n, P = G.n, G.num_parts
+    with G._derive_lock:
+        if "cc_split_layout" not in G._cache:
+            in_thr = max(1, hub_threshold(2 * G.m, P) // P)
+            rets = [
+                _cc_orient_shard.options(num_returns=P + 2).remote(
+                    G.csr_refs[q], n, P, in_thr
+                )
+                for q in range(P)
+            ]
+            if any(ray.get([r[P + 1] for r in rets])):
+                G._cache["cc_split_layout"] = None
+            else:
+                fwd_refs = [r[0] for r in rets]
+                bk_refs = [
+                    _cc_assemble_frags.remote(P, *[rets[q][1 + p] for q in range(P)])
+                    for p in range(P)
+                ]
+                G._cache["cc_split_layout"] = (fwd_refs, bk_refs)
+        return G._cache["cc_split_layout"]
+
+
 def _cc_split_orientation(G, *, max_iter, checkpoint_dir, checkpoint_every, resume):
     """Split-orientation dense CC over a directed graph, or None to fall
     back (row-format checkpoint to resume, or a hub that the symmetrized
@@ -458,25 +487,10 @@ def _cc_split_orientation(G, *, max_iter, checkpoint_dir, checkpoint_every, resu
             return None  # row-format checkpoint resumes on the Dataset path
     if hub_split(G) is not None:
         return None  # out-degree hubs: sym path splits them across actors
-    cached = G._cache.get("cc_split_layout")
-    if cached is not None:
-        fwd_refs, bk_refs = cached
-    else:
-        in_thr = max(1, hub_threshold(2 * G.m, P) // P)
-        rets = [
-            _cc_orient_shard.options(num_returns=P + 2).remote(
-                G.csr_refs[q], n, P, in_thr
-            )
-            for q in range(P)
-        ]
-        if any(ray.get([r[P + 1] for r in rets])):
-            return None  # in-degree hub (pigeonhole screen): sym path owns it
-        fwd_refs = [r[0] for r in rets]
-        bk_refs = [
-            _cc_assemble_frags.remote(P, *[rets[q][1 + p] for q in range(P)])
-            for p in range(P)
-        ]
-        G._cache["cc_split_layout"] = (fwd_refs, bk_refs)
+    layout = cc_split_layout_refs(G)
+    if layout is None:
+        return None  # in-degree hub (pigeonhole screen): sym path owns it
+    fwd_refs, bk_refs = layout
     start_it, resume_refs = 0, None
     if resume and checkpoint_dir:
         dck = latest_dense_checkpoint(checkpoint_dir)

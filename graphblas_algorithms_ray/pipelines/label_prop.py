@@ -132,6 +132,40 @@ class _LPACombine:
         return pa.concat_tables(out)
 
 
+@ray.remote
+def _build_lpa_layout(csr, n, P):
+    """One part's LPA edge layout (dst-part-sorted gather indices +
+    premultiplied destination keys) as a plasma object: task-built once
+    per graph, shared ZERO-COPY by every mesh worker (read-only arrays),
+    and prefetchable (Graph.prefetch_derived) so LPA's first superstep
+    doesn't pay the argsort/repeat build."""
+    dt = np.int32 if n <= np.iinfo(np.int32).max else np.int64
+    dst = csr["dst"]
+    nrows = csr["srcs"].size
+    edge_row = np.repeat(np.arange(nrows, dtype=dt), csr["row_cnt"])
+    dpart = (dst % P).astype(dt)
+    order = np.argsort(dpart, kind="stable")
+    return {
+        "srcs_local": (csr["srcs"] // P).astype(dt),
+        "edge_row": edge_row[order],
+        "dmul": (dst // P)[order].astype(np.int64) * np.int64(n),
+        "bounds": np.searchsorted(dpart[order], np.arange(P + 1)),
+        "fe": None,
+    }
+
+
+def lpa_layout_refs(g):
+    """Per-part plasma LPA layouts for an (undirected) graph; cached on
+    the graph, safe against a prefetch thread racing the kernel."""
+    g._ensure_built()
+    with g._derive_lock:
+        if "lpa_layout_refs" not in g._cache:
+            g._cache["lpa_layout_refs"] = [
+                _build_lpa_layout.remote(r, g.n, g.num_parts) for r in g.csr_refs
+            ]
+        return g._cache["lpa_layout_refs"]
+
+
 class _LPADenseProg:
     """Dense-layout LPA for the fused mesh (bsp_actors.DensePool).
 
@@ -145,13 +179,16 @@ class _LPADenseProg:
     (the deterministic synchronous rule above). ``merge_pieces`` overrides
     the mesh's additive slab merge — counts concatenate and re-unique."""
 
-    def __init__(self, csr_refs, n, P, hub=None):
+    def __init__(self, csr_refs, n, P, hub=None, layout_refs=None):
         self.csr_refs = csr_refs
         self.n, self.P = n, P
         # stages/hubsplit: hub rows leave the owner's CSR; their label
         # votes are counted in combine() from per-dst-part foreign arrays,
         # with hub labels riding the round's scalar all-reduce.
         self.hub = hub
+        # pre-built plasma layouts (lpa_layout_refs) — hub-free graphs
+        # only (the hub filter changes the layout's edge set)
+        self.layout_refs = layout_refs if hub is None else None
         # int32 tier: label values are vertex ids (< n) and the per-edge
         # index streams (edge_row, srcs_local) fit int32 at any n the
         # dense mesh handles — halves the DRAM traffic of the superstep
@@ -175,6 +212,14 @@ class _LPADenseProg:
                 if skey in store:
                     self._l[part] = store[skey]
                     return self._l[part]
+            if self.layout_refs is not None:
+                # task-built plasma layout: zero-copy read-only arrays,
+                # shared by every worker (and possibly already built by a
+                # prefetch_derived thread while an earlier kernel ran)
+                self._l[part] = ray.get(self.layout_refs[part])
+                if store is not None:
+                    store[skey] = self._l[part]
+                return self._l[part]
             csr = ray.get(self.csr_refs[part])
             P = self.P
             dt = self.dt
@@ -305,7 +350,7 @@ def label_propagation(G, max_iter: int = 30, chain: int = 5, executor: str = "da
             # sized by the semantic (directed) m so CC/LPA/pagerank share
             # one cached mesh instead of spawning a 2m-sized sibling
             P,
-            _LPADenseProg(g.csr_refs, n, P),
+            _LPADenseProg(g.csr_refs, n, P, layout_refs=lpa_layout_refs(g)),
             # LPA's per-superstep label bincounts dominate the exchange —
             # the full-width mesh wins despite the contention tax
             num_actors=dense_actors_for(G.m, heavy=True),

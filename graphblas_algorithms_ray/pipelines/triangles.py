@@ -287,21 +287,24 @@ def _forward_graph(G):
     g._ensure_built()
 
     key = "triangle_forward"
-    if key not in g._cache:
-        rm = _RankMap.build(g)
-        fg = Graph(
-            rm.canon_edges(g.edges_ds(), g.weighted),
-            n=g.n,
-            directed=True,
-            weighted=g.weighted,
-            num_parts=g.num_parts,
-            dup="min",  # both symmetric copies carry the same weight
-            name=g.name + "_fwd",
-            checkpoint_edges=False,  # derivable from the base graph
-        )
-        fg._ensure_built()
-        g._cache[key] = (fg, rm)
-    fg, rm = g._cache[key]
+    # _derive_lock: Graph.prefetch_derived builds this on a background
+    # thread — first builder wins, the other waits and reuses
+    with g._derive_lock:
+        if key not in g._cache:
+            rm = _RankMap.build(g)
+            fg = Graph(
+                rm.canon_edges(g.edges_ds(), g.weighted),
+                n=g.n,
+                directed=True,
+                weighted=g.weighted,
+                num_parts=g.num_parts,
+                dup="min",  # both symmetric copies carry the same weight
+                name=g.name + "_fwd",
+                checkpoint_edges=False,  # derivable from the base graph
+            )
+            fg._ensure_built()
+            g._cache[key] = (fg, rm)
+        fg, rm = g._cache[key]
     return g, fg, rm
 
 
@@ -412,9 +415,10 @@ def _build_shard_keys(csr, n):
 
 def _probe_key_refs(fg):
     key = "probe_keys"
-    if key not in fg._cache:
-        fg._cache[key] = [_build_shard_keys.remote(r, fg.n) for r in fg.csr_refs]
-    return fg._cache[key]
+    with fg._derive_lock:  # prefetch_derived thread may race the kernel
+        if key not in fg._cache:
+            fg._cache[key] = [_build_shard_keys.remote(r, fg.n) for r in fg.csr_refs]
+        return fg._cache[key]
 
 
 # Bloom pre-screen for the closing-edge probe: wedge hit rate is tiny
@@ -467,14 +471,15 @@ def _or_blooms(logb: int, *packed):
 
 def _bloom_ref(fg):
     key = "probe_bloom"
-    if key not in fg._cache:
-        logb = _bloom_logb(max(fg.m, 1))
-        refs = _probe_key_refs(fg)
-        n_tasks = max(1, min(len(refs), int(ray.cluster_resources().get("CPU", 8))))
-        groups = [refs[i::n_tasks] for i in range(n_tasks)]
-        parts = [_build_bloom_part.remote(logb, *grp) for grp in groups if grp]
-        fg._cache[key] = _or_blooms.remote(logb, *parts)
-    return fg._cache[key]
+    with fg._derive_lock:  # prefetch_derived thread may race the kernel
+        if key not in fg._cache:
+            logb = _bloom_logb(max(fg.m, 1))
+            refs = _probe_key_refs(fg)
+            n_tasks = max(1, min(len(refs), int(ray.cluster_resources().get("CPU", 8))))
+            groups = [refs[i::n_tasks] for i in range(n_tasks)]
+            parts = [_build_bloom_part.remote(logb, *grp) for grp in groups if grp]
+            fg._cache[key] = _or_blooms.remote(logb, *parts)
+        return fg._cache[key]
 
 
 @ray.remote

@@ -356,6 +356,11 @@ class Graph:
         )
         self._built = False
         self._cache: dict = {}
+        # guards derived-graph builds (undirected/reverse/triangle-forward)
+        # so a prefetch_derived background thread and a kernel call never
+        # build the same derived graph twice (RLock: forward build nests
+        # inside the undirected build)
+        self._derive_lock = threading.RLock()
         # once per process: age-sweep stale build dirs from earlier
         # sessions so long-lived drivers keep bounded disk (VERDICT r4 #8)
         if not Graph._swept:
@@ -530,49 +535,103 @@ class Graph:
 
         Materialized once and cached, exactly like the reference caches AT
         (``classes/digraph.py:24-30``)."""
-        if "reverse" not in self._cache:
-            self._ensure_built()
-            ds = self.edges_ds().map_batches(_swap_batch, batch_format="pyarrow")
-            g = Graph(
-                ds,
-                n=self.n,
-                directed=True,
-                weighted=self.weighted,
-                num_parts=self.num_parts,
-                keep_self=self.keep_self,
-                name=self.name + "_rev",
-                checkpoint_edges=False,  # derivable from the base graph
-            )
-            g._ensure_built()
-            self._cache["reverse"] = g
-        return self._cache["reverse"]
+        with self._derive_lock:
+            if "reverse" not in self._cache:
+                self._ensure_built()
+                ds = self.edges_ds().map_batches(_swap_batch, batch_format="pyarrow")
+                g = Graph(
+                    ds,
+                    n=self.n,
+                    directed=True,
+                    weighted=self.weighted,
+                    num_parts=self.num_parts,
+                    keep_self=self.keep_self,
+                    name=self.name + "_rev",
+                    checkpoint_edges=False,  # derivable from the base graph
+                )
+                g._ensure_built()
+                self._cache["reverse"] = g
+            return self._cache["reverse"]
 
     def to_undirected(self) -> "Graph":
         if not self.directed:
             return self
-        if "undirected" not in self._cache:
-            self._ensure_built()
-            # symmetrized edge blocks straight from the pinned CSR shards
-            # (one tiny task per part; both directions emitted) — skips the
-            # edges-parquet re-read and the union+materialize Dataset job
-            blocks = [
-                _csr_edges_both.remote(ref, self.weighted)
-                for ref in self.csr_refs
-            ]
-            g = Graph(
-                blocks,
-                n=self.n,
-                directed=False,
-                weighted=self.weighted,
-                num_parts=self.num_parts,
-                keep_self=self.keep_self,
-                name=self.name + "_und",
-                pre_symmetrized=True,  # _csr_edges_both emits both arcs
-                checkpoint_edges=False,  # derivable from the base graph
-            )
-            g._ensure_built()
-            self._cache["undirected"] = g
-        return self._cache["undirected"]
+        with self._derive_lock:
+            if "undirected" not in self._cache:
+                self._ensure_built()
+                # symmetrized edge blocks straight from the pinned CSR
+                # shards (one tiny task per part; both directions emitted)
+                # — skips the edges-parquet re-read and the
+                # union+materialize Dataset job
+                blocks = [
+                    _csr_edges_both.remote(ref, self.weighted)
+                    for ref in self.csr_refs
+                ]
+                g = Graph(
+                    blocks,
+                    n=self.n,
+                    directed=False,
+                    weighted=self.weighted,
+                    num_parts=self.num_parts,
+                    keep_self=self.keep_self,
+                    name=self.name + "_und",
+                    pre_symmetrized=True,  # _csr_edges_both emits both arcs
+                    checkpoint_edges=False,  # derivable from the base graph
+                )
+                g._ensure_built()
+                self._cache["undirected"] = g
+            return self._cache["undirected"]
+
+    def prefetch_derived(self, triangles: bool = True) -> "threading.Thread | None":
+        """Kick the derived structures a multi-kernel pipeline will need —
+        the CC split-orientation layout, the undirected graph, the LPA
+        edge layouts, and (optionally) the triangle forward orientation
+        with its probe keys and Bloom filter — on a background driver
+        thread, in the order the standard kernel sequence consumes them.
+        Rationale: the iterative kernels' meshes deliberately run below
+        full width (exchange-bound PageRank/CC lease ``cpus//2`` actors),
+        leaving cores idle exactly when these builds could use them — on a
+        real cluster the same overlap hides the derived builds behind the
+        first kernels. Gated on actual idle capacity: when the cluster is
+        so small that the light meshes already saturate it (no idle
+        cores), background builds would only preempt the latency-critical
+        exchange rounds — the prefetch then no-ops (returns None) and the
+        kernels build lazily as before. All consumers take
+        ``_derive_lock``, so a kernel that reaches a structure first
+        simply builds it (no double work, no races); errors surface in
+        the foreground consumer, never the thread. Fire-and-forget;
+        join() the returned thread to block."""
+        cpus = int(ray.cluster_resources().get("CPU", 1))
+        light_width = max(2, cpus // 2)  # dense_actors_for's light budget
+        if cpus - light_width < 2:
+            return None  # saturated: background builds would only preempt
+
+        def _bg():
+            try:
+                if self.directed:
+                    from ..pipelines.components import cc_split_layout_refs
+
+                    cc_split_layout_refs(self)
+                g = self.to_undirected()
+                from ..pipelines.label_prop import lpa_layout_refs
+
+                lpa_layout_refs(g)
+                if triangles:
+                    from ..pipelines.triangles import (
+                        _bloom_ref,
+                        _forward_graph,
+                        _probe_key_refs,
+                    )
+
+                    _, fg, _ = _forward_graph(self)
+                    _probe_key_refs(fg)
+                    _bloom_ref(fg)
+            except Exception:
+                pass  # prefetch is advisory; consumers rebuild on demand
+
+        t = threading.Thread(target=_bg, name=f"prefetch_{self.name}", daemon=True)
+        t.start()
+        return t
 
     def edges_ds(self) -> ray.data.Dataset:
         """The (deduped, partitioned) edge table as a Dataset."""
