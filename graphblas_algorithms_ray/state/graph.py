@@ -633,6 +633,18 @@ class Graph:
         t.start()
         return t
 
+    def __getstate__(self):
+        # Graphs ride into map_batches closures (e.g. clustering_directed's
+        # per-batch wedge probes); the derive lock is driver-local state and
+        # unpicklable — drop it and re-create on the worker.
+        state = self.__dict__.copy()
+        state.pop("_derive_lock", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._derive_lock = threading.RLock()
+
     def edges_ds(self) -> ray.data.Dataset:
         """The (deduped, partitioned) edge table as a Dataset."""
         self._ensure_built()

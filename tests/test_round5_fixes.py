@@ -86,3 +86,28 @@ def test_oracle_side_table_guard(tmp_path):
 
     with pytest.raises(RuntimeError, match="cross-scale"):
         _oracle_side_table(_cross_scale_writer, str(tmp_path))
+
+
+def test_graph_pickles_without_derive_lock():
+    """Graphs ride into map_batches closures (clustering_directed's wedge
+    probes); the driver-local _derive_lock (threading.RLock) must not ride
+    along or cloudpickle rejects the whole UDF."""
+    import pickle
+
+    from graphblas_algorithms_ray.state.graph import Graph
+
+    edges = ray.data.from_arrow(
+        pa.table({"src": [0, 1, 2], "dst": [1, 2, 0]})
+    )
+    g = Graph(edges, n=3, directed=True, num_parts=2)
+    g._ensure_built()
+    g2 = pickle.loads(pickle.dumps(g))
+    assert g2.n == 3 and g2._derive_lock is not None
+    # and the end-to-end path that originally failed: a directed
+    # clustering over a graph captured in a map_batches closure
+    from graphblas_algorithms_ray.pipelines.cluster_directed import (
+        clustering_directed,
+    )
+
+    out = clustering_directed(g).to_pandas()
+    assert len(out) == 3
