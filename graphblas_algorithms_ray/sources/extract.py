@@ -415,6 +415,84 @@ class _BroadcastLookup:
         return pa.table({a: pa.array(v[mask], pa.int64()) for a, v in out.items()})
 
 
+@ray.remote
+def _lookup_split_block(t: pa.Table, dict_tbl: pa.Table, hashed: bool, P: int):
+    """Fused map side of ingest: url→vid lookup AND the per-part hash
+    split in ONE task over an already-materialized links block. Replaces
+    a full Dataset job (map_edges_to_ids) + plasma materialize of the
+    mapped edge table + a separate split wave: each edge byte is written
+    to plasma exactly once, already in per-part fragment form. Unknown
+    endpoints (urls outside the dictionary) are dropped, matching
+    map_edges_to_ids."""
+    import polars as pl
+
+    if t.num_rows == 0 or "src_url" not in t.column_names:
+        empty = pa.table({})
+        return [empty] * P if P > 1 else empty
+    u = pl.from_arrow(dict_tbl["url"])
+    v = dict_tbl["vid"].to_numpy(zero_copy_only=False)
+    if hashed:
+        hcol = dict_tbl["h"].to_numpy(zero_copy_only=False)
+    out = {}
+    for col, alias in (("src_url", "src"), ("dst_url", "dst")):
+        vals = pl.from_arrow(t[col])
+        if hashed:
+            vh = vals.hash(seed=42).to_numpy()
+            pos = np.searchsorted(hcol, vh).astype(np.int64)
+        else:
+            pos = u.search_sorted(vals, side="left").to_numpy().astype(np.int64)
+        np.minimum(pos, len(u) - 1, out=pos)
+        ok = (u.gather(pos) == vals).to_numpy()
+        vid = v[pos]
+        vid[~ok] = -1
+        out[alias] = vid
+    mask = (out["src"] >= 0) & (out["dst"] >= 0)
+    src, dst = out["src"][mask], out["dst"][mask]
+    parts = src % P
+    order = np.argsort(parts, kind="stable")
+    src, dst, parts = src[order], dst[order], parts[order]
+    bounds = np.searchsorted(parts, np.arange(P + 1))
+    frags = [
+        pa.table(
+            {
+                "src": pa.array(src[bounds[k] : bounds[k + 1]], pa.int64()),
+                "dst": pa.array(dst[bounds[k] : bounds[k + 1]], pa.int64()),
+            }
+        )
+        for k in range(P)
+    ]
+    return frags if P > 1 else frags[0]
+
+
+def _broadcast_dict_ref(dictionary: ray.data.Dataset):
+    """Materialize the vertex dictionary into ONE plasma broadcast table.
+
+    Returns (dict_ref, hashed): hashed mode sorts by the uint64 xxhash of
+    the url so lookups are NUMERIC binary searches (~3× the string
+    search; the driver verified the hash is collision-free over the
+    dictionary, and every hit is still string-verified at lookup, so the
+    result is exact either way). Falls back to url-sorted string mode on
+    the astronomically rare dictionary hash collision."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    tabs = [t for t in ray.get(dictionary.to_arrow_refs()) if t.num_rows]
+    tbl = pa.concat_tables(tabs).combine_chunks()
+    h = pl.from_arrow(tbl["url"]).hash(seed=42).to_numpy()
+    if np.unique(h).size == len(h):
+        order = np.argsort(h, kind="stable")
+        tbl_h = pa.table(
+            {
+                "url": tbl["url"].take(pa.array(order)),
+                "vid": tbl["vid"].take(pa.array(order)),
+                "h": pa.array(h[order], pa.uint64()),
+            }
+        )
+        return ray.put(tbl_h), True
+    tbl = tbl.take(pc.sort_indices(tbl, [("url", "ascending")]))
+    return ray.put(tbl), False
+
+
 def map_edges_to_ids(
     links: ray.data.Dataset,
     dictionary: ray.data.Dataset,
@@ -427,36 +505,11 @@ def map_edges_to_ids(
     (urls outside the dictionary) are dropped."""
     n_dict = dictionary.count()
     if n_dict <= broadcast_limit:
-        tabs = [t for t in ray.get(dictionary.to_arrow_refs()) if t.num_rows]
-        tbl = pa.concat_tables(tabs).combine_chunks()
-        import polars as pl
-        import pyarrow.compute as pc
-
-        # hash-sorted broadcast: numeric binary search per lookup instead
-        # of a ~19-string-comparison search. Exact: the worker verifies
-        # every hit against the actual url, and the (astronomically rare)
-        # dictionary hash collision falls back to the string-sorted mode.
-        h = pl.from_arrow(tbl["url"]).hash(seed=42).to_numpy()
-        if np.unique(h).size == len(h):
-            order = np.argsort(h, kind="stable")
-            tbl_h = pa.table(
-                {
-                    "url": tbl["url"].take(pa.array(order)),
-                    "vid": tbl["vid"].take(pa.array(order)),
-                    "h": pa.array(h[order], pa.uint64()),
-                }
-            )
-            dict_ref = ray.put(tbl_h)
-            return links.map_batches(
-                _BroadcastLookup(
-                    dict_ref, [("src_url", "src"), ("dst_url", "dst")], hashed=True
-                ),
-                batch_format="pyarrow",
-            )
-        tbl = tbl.take(pc.sort_indices(tbl, [("url", "ascending")]))
-        dict_ref = ray.put(tbl)
+        dict_ref, hashed = _broadcast_dict_ref(dictionary)
         return links.map_batches(
-            _BroadcastLookup(dict_ref, [("src_url", "src"), ("dst_url", "dst")]),
+            _BroadcastLookup(
+                dict_ref, [("src_url", "src"), ("dst_url", "dst")], hashed=hashed
+            ),
             batch_format="pyarrow",
         )
     from ..stages.hashjoin import lookup_join
@@ -515,7 +568,28 @@ def graph_from_corpus(
         page_blocks + dst_blocks, sample_refs=page_samples + dst_samples
     ).materialize()
     n = dictionary.count()
-    edges = map_edges_to_ids(links, dictionary, broadcast_limit)
-    g = Graph(edges, n=n, directed=directed, num_parts=num_parts, name=name)
+    if directed and n <= broadcast_limit:
+        # fused ingest: url→vid lookup and the per-part hash split in one
+        # task wave over the materialized link blocks — no mapped-edge
+        # Dataset job, no intermediate plasma copy of the full edge table
+        from .._util import DEFAULT_NUM_PARTS
+        from ..state.graph import PreSplitFrags
+
+        P = num_parts or DEFAULT_NUM_PARTS
+        dict_ref, hashed = _broadcast_dict_ref(dictionary)
+        frag_refs = [
+            _lookup_split_block.options(num_returns=P if P > 1 else 1).remote(
+                b, dict_ref, hashed, P
+            )
+            for b in links.to_arrow_refs()
+        ]
+        if P == 1:
+            frag_refs = [[f] for f in frag_refs]
+        g = Graph(
+            PreSplitFrags(frag_refs, P), n=n, directed=True, num_parts=P, name=name
+        )
+    else:
+        edges = map_edges_to_ids(links, dictionary, broadcast_limit)
+        g = Graph(edges, n=n, directed=directed, num_parts=num_parts, name=name)
     g._ensure_built()
     return g, dictionary

@@ -123,6 +123,18 @@ class _AddPart:
         return t.append_column("part", pa.array(part_of(src, self.num_parts)))
 
 
+class PreSplitFrags:
+    """Edge input already in per-part fragment form: ``frag_refs[i][k]``
+    is block i's Arrow fragment (src, dst[, weight]) destined for part k.
+    Produced by ingest's fused lookup+split wave
+    (``sources.extract._lookup_split_block``) so ``_ensure_built`` skips
+    both the Dataset job and the split wave."""
+
+    def __init__(self, frag_refs: list, num_parts: int):
+        self.frag_refs = frag_refs
+        self.num_parts = num_parts
+
+
 @ray.remote
 def _split_block(t: pa.Table, num_parts: int):
     """Map side of the manual hash shuffle: one edge block → P per-part
@@ -444,6 +456,23 @@ class Graph:
         if self._built:
             return
         pre = self._edges_input
+        if isinstance(pre, PreSplitFrags):
+            # ingest's fused lookup+split wave already produced per-part
+            # fragments (frag_refs[i][k] = block i's fragment for part k):
+            # skip both the Dataset job and the split wave below
+            if self.n is None:
+                raise ValueError("pre-split input requires n")
+            if pre.num_parts != self.num_parts:
+                raise ValueError(
+                    f"pre-split fragments are for num_parts={pre.num_parts}, "
+                    f"graph has num_parts={self.num_parts}"
+                )
+            if not (self.directed or self.pre_symmetrized):
+                raise ValueError(
+                    "undirected pre-split input requires pre_symmetrized=True"
+                )
+            self._finish_build(pre.frag_refs, len(pre.frag_refs))
+            return
         is_block_refs = (
             isinstance(pre, list)
             and pre
@@ -478,8 +507,6 @@ class Graph:
                 ds = ds.union(ds.map_batches(_swap_batch, batch_format="pyarrow"))
             blocks = ds.materialize().to_arrow_refs()
 
-        edir = os.path.join(self.workdir, "edges")
-        os.makedirs(edir, exist_ok=True)
         P = self.num_parts
         # manual hash shuffle: split every block into per-part fragments,
         # build each part's CSR from exactly its fragments (no sort pass)
@@ -489,6 +516,14 @@ class Graph:
         ]
         if P == 1:
             frag_refs = [[f] for f in frag_refs]
+        self._finish_build(frag_refs, len(blocks))
+
+    def _finish_build(self, frag_refs, num_blocks: int):
+        """Reduce side of the build: one CSR-shard task per part over its
+        fragments, then the driver sums metas and writes the manifest."""
+        edir = os.path.join(self.workdir, "edges")
+        os.makedirs(edir, exist_ok=True)
+        P = self.num_parts
         csr_refs, aux_refs, meta_refs = [], [], []
         for k in range(P):
             path = (
@@ -504,7 +539,7 @@ class Graph:
                 self.keep_self,
                 self.dup,
                 path,
-                *[frag_refs[i][k] for i in range(len(blocks))],
+                *[frag_refs[i][k] for i in range(num_blocks)],
             )
             csr_refs.append(c)
             aux_refs.append(a)
