@@ -74,8 +74,13 @@ def run_bench() -> dict:
     g, _ = graph_from_corpus(corpus, num_parts=num_parts)
     # overlap the derived builds (undirected graph, triangle forward
     # orientation + probe keys + bloom) with the PageRank/CC stages —
-    # their exchange-bound meshes run at half width, leaving cores idle
-    g.prefetch_derived(triangles=True)
+    # their exchange-bound meshes run at half width, leaving cores idle.
+    # Measured placement: launching here costs the convergence run
+    # ~1.5 s at 8 cores, but deferring the launch past it makes CC/LPA
+    # serialize behind their own layout builds (+4 s) — the convergence
+    # window is what hides them.
+    if os.environ.get("GRAFT_BENCH_PREFETCH", "1") != "0":
+        g.prefetch_derived(triangles=True)
     timings["extract_and_build"] = time.time() - t0
 
     # convergence-semantics run (nx stop rule, per-iteration barrier)
