@@ -12,6 +12,7 @@ and tests compare against the generator's ground truth.
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -542,6 +543,20 @@ def graph_from_corpus(
 
     DensePool.prewarm(num_parts)
 
+    # opt-in sub-phase wall clock to stderr (GRAFT_INGEST_TIMINGS=1): the
+    # extract stage is the benchmark's main variance carrier — this makes
+    # a slow run attributable to a phase without re-instrumenting
+    import time as _time
+
+    _marks: list = []
+    _trace = os.environ.get("GRAFT_INGEST_TIMINGS") == "1"
+
+    def _mark(label):
+        if _trace:
+            _marks.append((label, _time.time()))
+
+    _mark("start")
+
     # links extraction and the pruned page-url read are independent jobs
     # over the same input — overlap them (two Dataset executions from two
     # driver threads; ~0.5 s off the extract stage at sf0.1)
@@ -554,6 +569,7 @@ def graph_from_corpus(
         )
         links = _f_links.result()
         page_urls = _f_pages.result()
+    _mark("extract_links+page_read")
     # dictionary input assembled as TASKS over already-materialized blocks
     # (per-block dst dedup+sample fused, plus the pruned page-url read) —
     # no union/combine Dataset job between extraction and the rank shuffle
@@ -568,6 +584,7 @@ def graph_from_corpus(
         page_blocks + dst_blocks, sample_refs=page_samples + dst_samples
     ).materialize()
     n = dictionary.count()
+    _mark("dictionary_rank")
     if directed and n <= broadcast_limit:
         # fused ingest: url→vid lookup and the per-part hash split in one
         # task wave over the materialized link blocks — no mapped-edge
@@ -577,6 +594,7 @@ def graph_from_corpus(
 
         P = num_parts or DEFAULT_NUM_PARTS
         dict_ref, hashed = _broadcast_dict_ref(dictionary)
+        _mark("dict_broadcast")
         frag_refs = [
             _lookup_split_block.options(num_returns=P if P > 1 else 1).remote(
                 b, dict_ref, hashed, P
@@ -591,5 +609,17 @@ def graph_from_corpus(
     else:
         edges = map_edges_to_ids(links, dictionary, broadcast_limit)
         g = Graph(edges, n=n, directed=directed, num_parts=num_parts, name=name)
+    _mark("lookup_split+graph_init")
     g._ensure_built()
+    _mark("shard_build")
+    if _trace and _marks:
+        import sys as _sys
+
+        t0 = _marks[0][1]
+        prev = t0
+        for label, t in _marks[1:]:
+            _sys.stderr.write(
+                f"[ingest] {label}: {t - prev:.3f}s (cum {t - t0:.3f}s)\n"
+            )
+            prev = t
     return g, dictionary
