@@ -111,3 +111,28 @@ def test_graph_pickles_without_derive_lock():
 
     out = clustering_directed(g).to_pandas()
     assert len(out) == 3
+
+
+def test_queries_order_never_driver_verified_first():
+    # VERDICT r4 #4: the correctness driver records at most ~50 queries per
+    # round; the ten that had never landed a driver row must stay FIRST in
+    # QUERIES so they fall inside the driver's window. Pin the prefix so a
+    # future reordering doesn't silently undo the rotation.
+    from graphblas_algorithms_ray.api import QUERIES
+
+    first10 = list(QUERIES)[:10]
+    assert first10 == [
+        "language_id",
+        "laplacian",
+        "bethe_hessian",
+        "square_clustering",
+        "transitivity_directed",
+        "clustering_directed",
+        "multi_source_bfs",
+        "corpus_pagerank",
+        "corpus_components",
+        "corpus_extract_text",
+    ]
+    # and the long-recorded core suite still follows inside the window
+    assert list(QUERIES)[10:14] == ["edges", "out_degree", "in_degree",
+                                    "degree_centrality"]
