@@ -1,0 +1,204 @@
+"""Cluster job entrypoint — the north rule's ``ray job submit`` surface.
+
+On a real fixed-size multi-node cluster::
+
+    ray job submit --working-dir . -- \\
+        python -m graphblas_algorithms_ray.job \\
+            --corpus s3://bucket/pages/ --out /mnt/results \\
+            --kernels pagerank,components,label_propagation,triangles \\
+            --num-parts 256 --checkpoint-dir /mnt/ckpt --checkpoint-every 5
+
+and locally (the sandbox proxy) the same module runs under
+``RAY_ADDRESS=local``. The module owns the Ray session (the library never
+calls ``ray.init``): it connects to whatever cluster the job server
+provides via ``address="auto"``.
+
+Contract pieces the entrypoint wires together:
+
+- input: a Parquet corpus of Common-Crawl-style pages
+  ``(url, warc_ts, html, text, lang)`` — or, with ``--docs``, the
+  deterministic synthetic corpus used by tests/benchmarks;
+- ``--num-parts`` is the FIXED partition count that stays constant across
+  cluster sizes (the N -> 4N scaling contract varies parallelism only);
+- per-iteration, per-partition checkpointing via ``--checkpoint-dir`` /
+  ``--checkpoint-every`` / ``--resume`` (iteration-level lineage);
+- job-level resume: each kernel's output directory gets a ``_DONE``
+  marker once its parquet has fully landed — re-submitting the same job
+  skips finished kernels and re-runs only the interrupted one;
+- one JSON metrics line on stdout: per-kernel wall seconds plus the
+  north-rule throughput figures (PageRank iterations/sec and edges/sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Any
+
+KERNELS = ("pagerank", "components", "label_propagation", "triangles")
+
+
+def _parse(argv: list[str] | None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="python -m graphblas_algorithms_ray.job",
+        description="Link-graph analytics over a web-page Parquet corpus",
+    )
+    p.add_argument("--corpus", help="Parquet file/dir of pages "
+                   "(url, warc_ts, html, text, lang); omit to synthesize")
+    p.add_argument("--docs", type=int, default=10_000,
+                   help="synthetic corpus size when --corpus is omitted")
+    p.add_argument("--density", type=int, default=1,
+                   help="synthetic links-per-page multiplier")
+    p.add_argument("--num-parts", type=int, default=32,
+                   help="fixed graph partition count (constant across "
+                   "cluster sizes; vary parallelism only)")
+    p.add_argument("--kernels", default=",".join(KERNELS),
+                   help="comma list from: " + ",".join(KERNELS))
+    p.add_argument("--pagerank-iters", type=int, default=0,
+                   help="fixed supersteps; 0 = converge to --tol")
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--lpa-iters", type=int, default=5)
+    p.add_argument("--executor", default="actors",
+                   choices=("actors", "dataset", "tasks"))
+    p.add_argument("--checkpoint-dir",
+                   help="per-iteration per-partition checkpoints")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume iterative kernels from --checkpoint-dir")
+    p.add_argument("--out", help="directory for per-kernel result parquet; "
+                   "finished kernels (marked _DONE) are skipped on re-run")
+    p.add_argument("--no-url-join", action="store_true",
+                   help="emit vertex ids instead of joining urls back")
+    return p.parse_args(argv)
+
+
+def _write(ds, out: str, kernel: str) -> bool:
+    """Write one kernel's result parquet; True if skipped (already done)."""
+    dest = os.path.join(out, kernel)
+    marker = os.path.join(dest, "_DONE")
+    if os.path.exists(marker):
+        return True
+    os.makedirs(dest, exist_ok=True)
+    ds.write_parquet(dest)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return False
+
+
+def main(argv: list[str] | None = None) -> dict[str, Any]:
+    args = _parse(argv)
+    kernels = [k.strip() for k in args.kernels.split(",") if k.strip()]
+    unknown = set(kernels) - set(KERNELS)
+    if unknown:
+        raise SystemExit(f"unknown kernels: {sorted(unknown)}")
+
+    import ray
+
+    if not ray.is_initialized():
+        # the job server (or RAY_ADDRESS=local in the sandbox) decides the
+        # cluster; the entrypoint owns this session, the library never does
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 include_dashboard=False)
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .sources.corpus import corpus_parquet, read_corpus
+    from .sources.extract import graph_from_corpus
+    from .stages.hashjoin import lookup_join
+
+    corpus_path = args.corpus or corpus_parquet(args.docs,
+                                                density=args.density)
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    g, dictionary = graph_from_corpus(read_corpus(corpus_path),
+                                      num_parts=args.num_parts)
+    if len(kernels) > 1:
+        g.prefetch_derived(triangles="triangles" in kernels)
+    timings["extract_and_build"] = time.time() - t0
+
+    def _urls(ds, key: str):
+        if args.no_url_join or not args.out:
+            return ds
+        return lookup_join(ds, key, dictionary, "vid", "url", "url")
+
+    ck = dict(checkpoint_dir=args.checkpoint_dir,
+              checkpoint_every=args.checkpoint_every, resume=args.resume)
+    metrics: dict[str, Any] = {"metric": "link_graph_job",
+                               "edges": g.m, "vertices": g.n,
+                               "num_parts": args.num_parts,
+                               "num_cpus": int(ray.cluster_resources().get("CPU", 0)),
+                               "skipped": []}
+
+    def _done(kernel: str) -> bool:
+        return bool(args.out) and os.path.exists(
+            os.path.join(args.out, kernel, "_DONE")
+        )
+
+    for kernel in kernels:
+        t0 = time.time()
+        if kernel != "triangles" and _done(kernel):
+            # job-level resume: a finished kernel (data landed, then the
+            # marker) is skipped BEFORE any compute — a re-submitted job
+            # pays only for the interrupted kernels
+            metrics["skipped"].append(kernel)
+            timings[kernel] = 0.0
+            continue
+        if kernel == "pagerank":
+            from .pipelines.pagerank import pagerank
+
+            iters = args.pagerank_iters
+            res = pagerank(g, tol=(0.0 if iters else args.tol),
+                           max_iter=(iters or 200),
+                           raise_on_failure=not iters,
+                           executor=args.executor, **ck)
+            if args.out:
+                if _write(_urls(res, "v"), args.out, kernel):
+                    metrics["skipped"].append(kernel)
+            else:
+                res.count()
+            dt = time.time() - t0
+            if iters:
+                # north-rule throughput: supersteps/sec and edge-traversals/
+                # sec — only meaningful on the fixed-superstep path (the
+                # converge path's iteration count isn't knowable here)
+                metrics["pagerank_iters_per_sec"] = round(iters / dt, 3)
+                metrics["pagerank_edges_per_sec"] = round(g.m * iters / dt, 1)
+        elif kernel == "components":
+            from .pipelines.components import connected_components
+
+            res = connected_components(g, executor=args.executor, **ck)
+            if args.out:
+                if _write(_urls(res, "v"), args.out, kernel):
+                    metrics["skipped"].append(kernel)
+            else:
+                res.count()
+        elif kernel == "label_propagation":
+            from .pipelines.label_prop import label_propagation
+
+            res = label_propagation(g, max_iter=args.lpa_iters,
+                                    executor=args.executor)
+            if args.out:
+                if _write(_urls(res, "v"), args.out, kernel):
+                    metrics["skipped"].append(kernel)
+            else:
+                res.count()
+        elif kernel == "triangles":
+            from .pipelines.triangles import total_triangles
+
+            metrics["triangles"] = int(total_triangles(g))
+        timings[kernel] = time.time() - t0
+
+    metrics["queries"] = {k: round(v, 3) for k, v in timings.items()}
+    metrics["value"] = round(sum(timings.values()), 3)
+    metrics["unit"] = "sec"
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,72 @@
+"""The ``ray job submit`` entrypoint (graphblas_algorithms_ray.job):
+argument surface, per-kernel parquet output, _DONE-marker job resume,
+and the north-rule throughput fields."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from graphblas_algorithms_ray import job
+
+
+def test_job_end_to_end(tmp_path, capsys):
+    out = str(tmp_path / "results")
+    m = job.main([
+        "--docs", "400", "--num-parts", "4",
+        "--kernels", "pagerank,components,triangles",
+        "--pagerank-iters", "10",
+        "--out", out,
+    ])
+    # one JSON metrics line on stdout
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["metric"] == "link_graph_job"
+    assert m["edges"] > 0 and m["vertices"] > 0
+    assert m["pagerank_iters_per_sec"] > 0
+    # both fields are independently rounded — compare loosely
+    assert m["pagerank_edges_per_sec"] == pytest.approx(
+        m["pagerank_iters_per_sec"] * m["edges"], rel=1e-3
+    )
+    assert m["triangles"] >= 0 and m["skipped"] == []
+    assert set(m["queries"]) == {"extract_and_build", "pagerank",
+                                 "components", "triangles"}
+
+    # per-kernel parquet landed, url-joined, complete (_DONE after data)
+    for kernel in ("pagerank", "components"):
+        dest = os.path.join(out, kernel)
+        assert os.path.exists(os.path.join(dest, "_DONE"))
+        files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+        df = pd.concat(pd.read_parquet(os.path.join(dest, f)) for f in files)
+        assert len(df) == m["vertices"]
+        assert "url" in df.columns and df["url"].is_unique
+
+    # PageRank scores over the synthetic corpus sum to 1
+    prf = os.path.join(out, "pagerank")
+    df = pd.concat(
+        pd.read_parquet(os.path.join(prf, f))
+        for f in os.listdir(prf) if f.endswith(".parquet")
+    )
+    assert df["pagerank"].sum() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_job_resume_skips_finished_kernels(tmp_path, capsys):
+    out = str(tmp_path / "results")
+    job.main(["--docs", "400", "--num-parts", "4",
+              "--kernels", "pagerank", "--pagerank-iters", "5",
+              "--out", out])
+    first = sorted(os.listdir(os.path.join(out, "pagerank")))
+    m = job.main(["--docs", "400", "--num-parts", "4",
+                  "--kernels", "pagerank", "--pagerank-iters", "5",
+                  "--out", out])
+    # second submit skipped the finished kernel BEFORE any compute:
+    # no new/duplicated files, and the kernel's timing is zero
+    assert m["skipped"] == ["pagerank"]
+    assert m["queries"]["pagerank"] == 0.0
+    assert sorted(os.listdir(os.path.join(out, "pagerank"))) == first
+    capsys.readouterr()
+
+
+def test_job_rejects_unknown_kernel():
+    with pytest.raises(SystemExit):
+        job.main(["--kernels", "nope"])
