@@ -187,6 +187,13 @@ def _keys_list(g: Graph) -> list:
     return list(range(_num_nodes(g)))
 
 
+def _node_labels(graph) -> list:
+    """Node labels for either input kind (see _num_nodes)."""
+    if isinstance(graph, Graph):
+        return _keys_list(graph)
+    return list(graph)
+
+
 def _set_keys(g: Graph, keys) -> Graph:
     g._id_to_key = list(keys)
     g._key_to_id = {k: i for i, k in enumerate(g._id_to_key)}
@@ -375,6 +382,22 @@ class Dispatcher:
     ):
         from .pipelines.link_analysis import ConvergenceFailure, katz_centrality
 
+        # nx parity (centrality/katz.py): a non-numeric beta is treated as a
+        # mapping and must cover every node, else NetworkXException.
+        if not isinstance(beta, dict):
+            try:
+                beta = float(beta)
+            except (TypeError, ValueError, AttributeError) as err:
+                try:
+                    beta = dict(beta)
+                except (TypeError, ValueError):
+                    raise nx.NetworkXException(
+                        "beta dictionary must have a value for every node"
+                    ) from err
+        if isinstance(beta, dict) and set(beta) != set(_node_labels(graph)):
+            raise nx.NetworkXException(
+                "beta dictionary must have a value for every node"
+            )
         if _num_nodes(graph) == 0:
             return {}  # nx parity
         g = convert_from_nx(graph, weight)
@@ -393,6 +416,8 @@ class Dispatcher:
     def degree_centrality(graph):
         from .pipelines.centrality import degree_centrality
 
+        if _num_nodes(graph) <= 1:  # nx parity: 1/(n-1) special case
+            return {n: 1 for n in _node_labels(graph)}
         g = convert_from_nx(graph, None)
         mode = "total" if g.directed else "out"
         return _vertex_dict(g, degree_centrality(g, mode=mode), "centrality")
@@ -401,6 +426,8 @@ class Dispatcher:
     def in_degree_centrality(graph):
         from .pipelines.centrality import degree_centrality
 
+        if _num_nodes(graph) <= 1:  # nx parity: 1/(n-1) special case
+            return {n: 1 for n in _node_labels(graph)}
         g = convert_from_nx(graph, None)
         return _vertex_dict(g, degree_centrality(g, mode="in"), "centrality")
 
@@ -408,6 +435,8 @@ class Dispatcher:
     def out_degree_centrality(graph):
         from .pipelines.centrality import degree_centrality
 
+        if _num_nodes(graph) <= 1:  # nx parity: 1/(n-1) special case
+            return {n: 1 for n in _node_labels(graph)}
         g = convert_from_nx(graph, None)
         return _vertex_dict(g, degree_centrality(g, mode="out"), "centrality")
 
@@ -566,6 +595,8 @@ class Dispatcher:
         from .pipelines.traversal import bfs_levels
 
         g = convert_from_nx(graph, None)
+        if not _contains(g, source):
+            raise nx.NodeNotFound(f"Source {source} is not in G")
         d = {
             r["v"]: int(r["level"])
             for r in bfs_levels(g, _id_of(g, source)).take_all()

@@ -155,3 +155,35 @@ def test_community_quality_reference_semantics():
     part2 = [{"a", "b"}]
     assert D.intra_community_edges(DG, part2) == 1  # a->b
     assert D.inter_community_edges(DG, part2) == 1  # c->a (src c unassigned)
+
+
+def test_katz_beta_validation_matches_nx():
+    # nx centrality/katz.py: non-numeric beta is treated as a mapping and
+    # must cover every node, else NetworkXException
+    G = nx.Graph([(0, 1)])
+    with pytest.raises(nx.NetworkXException):
+        D.katz_centrality(G, 0.1, beta={0: 77})
+    with pytest.raises(nx.NetworkXException):
+        D.katz_centrality(G, 0.1, beta="foo")
+    # full dict still works
+    res = D.katz_centrality(G, 0.1, beta={0: 1.0, 1: 1.0})
+    exp = nx.katz_centrality(G, 0.1, beta={0: 1.0, 1: 1.0})
+    assert all(abs(res[k] - exp[k]) < 1e-6 for k in exp)
+
+
+def test_degree_centrality_small_graphs_match_nx():
+    # nx degree_alg.py: len(G) <= 1 short-circuits the 1/(n-1) divisor
+    for factory in (nx.Graph, nx.DiGraph):
+        E = nx.empty_graph(0, create_using=factory)
+        S = nx.empty_graph(1, create_using=factory)
+        assert D.degree_centrality(E) == {} == nx.degree_centrality(E)
+        assert D.degree_centrality(S) == {0: 1} == nx.degree_centrality(S)
+    DG = nx.empty_graph(1, create_using=nx.DiGraph)
+    assert D.in_degree_centrality(DG) == {0: 1} == nx.in_degree_centrality(DG)
+    assert D.out_degree_centrality(DG) == {0: 1} == nx.out_degree_centrality(DG)
+
+
+def test_sssp_length_absent_source_raises_node_not_found():
+    G = nx.cycle_graph(7)
+    with pytest.raises(nx.NodeNotFound):
+        D.single_source_shortest_path_length(G, 8)

@@ -110,6 +110,28 @@ def pytest_collection_modifyitems(config, items):
         "test_tournament_matrix",
         "test_multigraph[pagerank]",
     }
+
+    def _class_needs_real_scipy(item):
+        # classes like TestKatzCentralityNumpy do importorskip("scipy") in
+        # setup_class — the dispatch stub satisfies the import, so the test
+        # would RUN against a fake scipy instead of skipping; detect the
+        # guard in the setup source and skip explicitly.
+        import inspect
+
+        cls = getattr(item, "cls", None)
+        setup = getattr(cls, "setup_class", None)
+        if setup is None:
+            return False
+        try:
+            src = inspect.getsource(setup)
+        except (OSError, TypeError):
+            return False
+        return 'importorskip("scipy")' in src or "importorskip('scipy')" in src
+
     for item in items:
-        if "scipy" in item.nodeid.lower() or item.name in extra:
+        if (
+            "scipy" in item.nodeid.lower()
+            or item.name in extra
+            or _class_needs_real_scipy(item)
+        ):
             item.add_marker(skip)
