@@ -366,6 +366,8 @@ class Dispatcher:
             raise nx.NetworkXPointlessConcept(
                 "cannot compute centrality for the null graph"
             )
+        if nstart is not None and all(v == 0 for v in nstart.values()):
+            raise nx.NetworkXException("initial vector cannot have all zero values")
         g = convert_from_nx(graph, weight)
         try:
             res = eigenvector_centrality(

@@ -187,3 +187,9 @@ def test_sssp_length_absent_source_raises_node_not_found():
     G = nx.cycle_graph(7)
     with pytest.raises(nx.NodeNotFound):
         D.single_source_shortest_path_length(G, 8)
+
+
+def test_eigenvector_zero_nstart_raises():
+    G = nx.Graph([(1, 2), (1, 3), (2, 3)])
+    with pytest.raises(nx.NetworkXException, match="cannot have all zero"):
+        D.eigenvector_centrality(G, nstart={v: 0 for v in G})

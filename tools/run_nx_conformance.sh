@@ -40,6 +40,7 @@ python -m pytest -p tools.nx_conformance_plugin -q --pyargs \
     networkx.algorithms.operators.tests.test_unary \
     networkx.algorithms.tests.test_core \
     networkx.algorithms.centrality.tests.test_katz_centrality \
+    networkx.algorithms.centrality.tests.test_eigenvector_centrality \
     networkx.algorithms.centrality.tests.test_degree_centrality \
     networkx.algorithms.community.tests.test_quality \
     networkx.algorithms.shortest_paths.tests.test_generic \
