@@ -44,4 +44,5 @@ python -m pytest -p tools.nx_conformance_plugin -q --pyargs \
     networkx.algorithms.centrality.tests.test_degree_centrality \
     networkx.algorithms.community.tests.test_quality \
     networkx.algorithms.shortest_paths.tests.test_generic \
+    networkx.algorithms.tests.test_structuralholes \
     "$@"
