@@ -67,8 +67,12 @@ def concat_ranges(starts: np.ndarray, lens: np.ndarray, dtype=np.int64) -> np.nd
 
     The classic cumsum trick — used to expand CSR adjacency slices for a
     set of source rows without a Python loop. ``dtype`` sets the OUTPUT
-    element width (int32 halves memory traffic when values fit); the
-    cumsums run in int64 regardless.
+    element width (int32 halves memory traffic when values fit). The
+    final cumsum ACCUMULATES in ``dtype`` — that is safe here, and only
+    here, because every intermediate prefix sum of the delta encoding
+    equals an output element (each < 2^31 by caller contract). Do NOT
+    reuse this with int32 for general cumulative counts, where
+    intermediates can exceed every output.
     """
     lens = lens.astype(np.int64, copy=False)
     nz = lens > 0

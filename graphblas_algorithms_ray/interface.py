@@ -384,20 +384,26 @@ class Dispatcher:
     ):
         from .pipelines.link_analysis import ConvergenceFailure, katz_centrality
 
-        # nx parity (centrality/katz.py): a non-numeric beta is treated as a
-        # mapping and must cover every node, else NetworkXException.
+        # nx parity (centrality/katz.py): on float(beta) failure nx keeps
+        # beta AS-IS and requires set(beta) == set(G) — it does NOT
+        # dict-convert first, so an iterable of pairs like [(0, 1.), (1,
+        # 1.)] must RAISE (its set is the pairs, not the nodes), never be
+        # silently accepted as a mapping.
         if not isinstance(beta, dict):
             try:
                 beta = float(beta)
             except (TypeError, ValueError, AttributeError) as err:
                 try:
-                    beta = dict(beta)
-                except (TypeError, ValueError):
-                    raise nx.NetworkXException(
+                    cover = set(beta) == set(_node_labels(graph))
+                except TypeError:
+                    cover = False
+                if not cover:
+                    raise nx.NetworkXError(
                         "beta dictionary must have a value for every node"
                     ) from err
+                beta = {k: beta[k] for k in set(beta)}
         if isinstance(beta, dict) and set(beta) != set(_node_labels(graph)):
-            raise nx.NetworkXException(
+            raise nx.NetworkXError(
                 "beta dictionary must have a value for every node"
             )
         if _num_nodes(graph) == 0:

@@ -76,13 +76,33 @@ def _parse(argv: list[str] | None) -> argparse.Namespace:
 
 
 def _write(ds, out: str, kernel: str) -> bool:
-    """Write one kernel's result parquet; True if skipped (already done)."""
+    """Write one kernel's result parquet; True if skipped (already done).
+
+    Crash-safe: the write lands in a fresh temp dir that is atomically
+    renamed over ``dest`` only after it completes, THEN the _DONE marker
+    is written. A job killed mid-write leaves only a ``.tmp-*`` dir (swept
+    on the next run), never a partially-written ``dest``; a job killed
+    between the rename and the marker recomputes into a fresh temp dir and
+    replaces ``dest`` wholesale — re-submission can never append a second
+    copy of the rows to a surviving directory."""
+    import shutil
+    import uuid
+
     dest = os.path.join(out, kernel)
     marker = os.path.join(dest, "_DONE")
     if os.path.exists(marker):
         return True
-    os.makedirs(dest, exist_ok=True)
-    ds.write_parquet(dest)
+    os.makedirs(out, exist_ok=True)
+    # sweep temp dirs orphaned by an earlier crash of THIS kernel
+    for stale in (
+        d for d in os.listdir(out) if d.startswith(f".tmp-{kernel}-")
+    ):
+        shutil.rmtree(os.path.join(out, stale), ignore_errors=True)
+    tmp = os.path.join(out, f".tmp-{kernel}-{uuid.uuid4().hex[:8]}")
+    ds.write_parquet(tmp)
+    if os.path.isdir(dest):  # unmarked leftover from a crash mid-marker
+        shutil.rmtree(dest)
+    os.rename(tmp, dest)
     with open(marker, "w") as f:
         f.write("ok\n")
     return False
@@ -99,9 +119,16 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
 
     if not ray.is_initialized():
         # the job server (or RAY_ADDRESS=local in the sandbox) decides the
-        # cluster; the entrypoint owns this session, the library never does
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 include_dashboard=False)
+        # cluster; the entrypoint owns this session, the library never does.
+        # With no cluster and no RAY_ADDRESS, fall back to a local instance
+        # instead of surfacing ConnectionError from address="auto".
+        addr = os.environ.get("RAY_ADDRESS", "auto")
+        try:
+            ray.init(address=addr, include_dashboard=False)
+        except ConnectionError:
+            if addr != "auto":
+                raise
+            ray.init(address="local", include_dashboard=False)
     import ray.data
     from ray.data import DataContext
 

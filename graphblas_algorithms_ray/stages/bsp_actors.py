@@ -457,10 +457,30 @@ class _DenseWorker:
         # per part, independent of mesh width). FIFO-capped.
         self._layout_store: dict = {}
 
+    @staticmethod
+    def _layout_nbytes(v) -> int:
+        """Approximate footprint of one cached layout (nested arrays)."""
+        if isinstance(v, np.ndarray):
+            return v.nbytes
+        if isinstance(v, dict):
+            return sum(_DenseWorker._layout_nbytes(x) for x in v.values())
+        if isinstance(v, (list, tuple)):
+            return sum(_DenseWorker._layout_nbytes(x) for x in v)
+        return 64
+
     def set_prog(self, prog):
         self.prog = prog
         prog._store = self._layout_store
-        while len(self._layout_store) > 128:
+        # FIFO-evict by BYTES, not entry count: one gate-scale per-part
+        # layout is tens-to-hundreds of MB, and zero-copy views pin the
+        # backing plasma objects — worker processes are cached for the
+        # whole session, so an entry-count cap would let RSS grow multi-GB
+        budget = int(os.environ.get("GRAFT_LAYOUT_STORE_MB", "1024")) << 20
+        while (
+            len(self._layout_store) > 1
+            and sum(map(self._layout_nbytes, self._layout_store.values()))
+            > budget
+        ):
             self._layout_store.pop(next(iter(self._layout_store)))
         self.x = {}
         return True

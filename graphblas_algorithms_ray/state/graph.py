@@ -374,15 +374,24 @@ class Graph:
         # inside the undirected build)
         self._derive_lock = threading.RLock()
         # once per process: age-sweep stale build dirs from earlier
-        # sessions so long-lived drivers keep bounded disk (VERDICT r4 #8)
+        # sessions so long-lived drivers keep bounded disk (VERDICT r4 #8).
+        # Runs on a daemon thread: the rmtree of tens of GB of stale dirs
+        # must never land inside a caller's timed first-build window (the
+        # sweep only touches dirs past the age cutoff, never this build's).
         if not Graph._swept:
             Graph._swept = True
-            try:
-                from .._util import sweep_graph_workdirs
 
-                sweep_graph_workdirs()
-            except OSError:  # pragma: no cover — best-effort hygiene
-                pass
+            def _sweep():
+                try:
+                    from .._util import sweep_graph_workdirs
+
+                    sweep_graph_workdirs()
+                except OSError:  # pragma: no cover — best-effort hygiene
+                    pass
+
+            threading.Thread(
+                target=_sweep, name="gar-workdir-sweep", daemon=True
+            ).start()
 
     # -- construction --------------------------------------------------
 

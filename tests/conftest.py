@@ -23,11 +23,13 @@ def ray_session():
     ctx.execution_options.verbose_progress = False
     yield
     ray.shutdown()
-    # bounded disk: drop per-Graph build dirs from PREVIOUS sessions
-    # (age-gated so a concurrently-running bench's fresh builds survive)
+    # bounded disk: drop per-Graph build dirs from PREVIOUS sessions. Keep
+    # the library-default 6h cutoff: a 1h cutoff could rmtree a workdir a
+    # long-lived concurrent driver (a soak run, the 2M-doc probe) built
+    # >1h ago but still reads from — its mtime never updates on read.
     from graphblas_algorithms_ray._util import sweep_graph_workdirs
 
-    sweep_graph_workdirs(max_age_hours=1.0)
+    sweep_graph_workdirs()
 
 
 @pytest.fixture(scope="module", autouse=True)

@@ -169,6 +169,21 @@ def test_katz_beta_validation_matches_nx():
     res = D.katz_centrality(G, 0.1, beta={0: 1.0, 1: 1.0})
     exp = nx.katz_centrality(G, 0.1, beta={0: 1.0, 1: 1.0})
     assert all(abs(res[k] - exp[k]) < 1e-6 for k in exp)
+    # nx keeps a non-float beta AS-IS and checks set(beta) against the
+    # node set — an iterable of pairs must raise (set is the pairs),
+    # never be dict-converted into a passing mapping
+    with pytest.raises(nx.NetworkXError):
+        D.katz_centrality(G, 0.1, beta=[(0, 1.0), (1, 1.0)])
+    with pytest.raises(nx.NetworkXError):
+        nx.katz_centrality(G, 0.1, beta=[(0, 1.0), (1, 1.0)])  # nx agrees
+    # a non-dict Mapping whose keys ARE the nodes is accepted (nx: b[n])
+    class M:
+        def __iter__(self):
+            return iter([0, 1])
+        def __getitem__(self, k):
+            return 1.0
+    res = D.katz_centrality(G, 0.1, beta=M())
+    assert all(abs(res[k] - exp[k]) < 1e-6 for k in exp)
 
 
 def test_degree_centrality_small_graphs_match_nx():

@@ -67,6 +67,33 @@ def test_job_resume_skips_finished_kernels(tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_job_resume_after_crash_never_duplicates_rows(tmp_path, capsys):
+    # crash window: parquet landed but the _DONE marker did not. The
+    # re-submit must REPLACE the directory, not append a second copy.
+    import pandas as pd
+
+    out = str(tmp_path / "results")
+    job.main(["--docs", "400", "--num-parts", "4",
+              "--kernels", "pagerank", "--pagerank-iters", "5",
+              "--out", out])
+    dest = os.path.join(out, "pagerank")
+    marker = os.path.join(dest, "_DONE")
+    os.remove(marker)  # simulate dying between write and marker
+    job.main(["--docs", "400", "--num-parts", "4",
+              "--kernels", "pagerank", "--pagerank-iters", "5",
+              "--out", out])
+    assert os.path.exists(marker)
+    df = pd.concat(
+        pd.read_parquet(os.path.join(dest, f))
+        for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+    assert df["url"].is_unique  # a doubled write would repeat every url
+    assert df["pagerank"].sum() == pytest.approx(1.0, abs=1e-6)
+    # no orphaned temp dirs left behind
+    assert not [d for d in os.listdir(out) if d.startswith(".tmp-")]
+    capsys.readouterr()
+
+
 def test_job_rejects_unknown_kernel():
     with pytest.raises(SystemExit):
         job.main(["--kernels", "nope"])
