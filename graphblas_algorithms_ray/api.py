@@ -521,6 +521,29 @@ def q_ann_topk_lsh(sf_dir):
     return ann_topk_lsh(emb, [0, 1, 2], k=5, bits=6, hamming_probes=2)
 
 
+def q_ngram_decontaminate(sf_dir):
+    """Eval-set decontamination: training docs (doc_id % 97 != 0) flagged
+    by any shared word 5-gram with the benchmark split (doc_id % 97 == 0).
+    Benchmark gram hashes are broadcast once; the corpus side is one
+    shuffle-free streaming pass (pipelines/dedup.ngram_decontaminate)."""
+    import pyarrow as pa
+
+    from .pipelines.dedup import ngram_decontaminate
+
+    def _split(keep_bench):
+        def f(t):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 97 == 0) if keep_bench else (ids % 97 != 0)
+            return t.filter(pa.array(m))
+
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = docs.map_batches(_split(True), batch_format="pyarrow")
+    train = docs.map_batches(_split(False), batch_format="pyarrow")
+    return ngram_decontaminate(train, bench, n=5)
+
+
 def q_bpe_token_counts(sf_dir):
     from .pipelines.text import bpe_token_counts
 
@@ -723,6 +746,7 @@ QUERIES = {
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "bpe_token_counts": q_bpe_token_counts,
+    "ngram_decontaminate": q_ngram_decontaminate,
 }
 
 
@@ -1000,6 +1024,23 @@ FROM documents GROUP BY lang ORDER BY lang""",
     "bpe_token_counts": r"""SELECT doc_id,
   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))::BIGINT AS n_bpe_tokens
 FROM documents ORDER BY doc_id""",
+    # eval-set decontamination: exact word-5-gram overlap vs the bench
+    # split (doc_id % 97 == 0); the engine compares 64-bit gram hashes on
+    # both sides (identical equality classes up to negligible collisions)
+    "ngram_decontaminate": r"""WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 4), ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 3, 1))) AS i) r),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT grams.doc_id, COUNT(DISTINCT grams.g)::BIGINT AS n_hits
+  FROM grams JOIN bench USING (g) WHERE grams.doc_id % 97 <> 0 GROUP BY 1),
+train AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 97 <> 0)
+SELECT train.doc_id, COALESCE(hits.n_hits, 0)::BIGINT AS n_hits,
+       hits.doc_id IS NOT NULL AS contaminated
+FROM train LEFT JOIN hits USING (doc_id) ORDER BY doc_id""",
     "train_val_split": """SELECT doc_id,
   -- HUGEINT arithmetic: signed BIGINT would overflow for doc_id >= 2^32
   -- and silently diverge from the engine's uint64 wraparound (ADVICE r3)

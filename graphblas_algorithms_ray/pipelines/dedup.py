@@ -661,3 +661,149 @@ def ngram_jaccard_pairs(
         docs, threshold=threshold, num_perm=64, bands=32, shingle_k=shingle_k
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: word-n-gram overlap against a broadcast test set
+# ---------------------------------------------------------------------------
+
+_GRAM_PRIME = np.uint64(1099511628211)
+
+
+def _word_gram_hashes(t: pa.Table, n: int):
+    """(gram_hash uint64, doc_index int64) for every word n-gram of every
+    row of ``t`` (column ``text``). Tokenization matches the word_topk /
+    DuckDB convention exactly: split on \\s+, drop empty tokens, NO
+    lowercasing; docs with < n tokens contribute zero grams (no padding —
+    SQL has none either). Grams are equal iff their token sequences are
+    equal (tokens contain no whitespace, so ' '-joining is injective);
+    the rolling 64-bit polynomial over per-token xxhashes preserves that
+    equality up to negligible collision odds."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from .._util import concat_ranges
+
+    t = t.combine_chunks()
+    nd = t.num_rows
+    if nd == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    toks = pc.split_pattern_regex(t["text"], r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    values = toks.values
+    doc_idx = np.repeat(np.arange(nd, dtype=np.int64), offs[1:] - offs[:-1])
+    nonempty = pc.greater(pc.utf8_length(values), 0).to_numpy(zero_copy_only=False)
+    if nonempty.size and not nonempty.all():
+        values = values.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+    L = np.bincount(doc_idx, minlength=nd).astype(np.int64)
+    if not len(values):
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    th = pl.from_arrow(values).hash(seed=7).to_numpy().astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+    sel = L >= n
+    if not sel.any():
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    ngrams = L[sel] - n + 1
+    base = concat_ranges(starts[sel], ngrams)
+    acc = np.zeros(base.size, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            acc = acc * _GRAM_PRIME + th[base + j]
+    return acc, np.repeat(np.nonzero(sel)[0], ngrams)
+
+
+class _BenchGrams:
+    """Per-batch DISTINCT gram hashes of the (small) benchmark side."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        gh, _ = _word_gram_hashes(t, self.n)
+        return pa.table({"h": np.unique(gh).view(np.int64)})
+
+
+class _NgramHits:
+    """Corpus-side streaming pass: per doc, count DISTINCT grams present
+    in the broadcast benchmark set (searchsorted membership — the bench
+    array rides in plasma once per node, zero-copy into every task)."""
+
+    def __init__(self, bench_ref, n: int):
+        self.bench_ref = bench_ref
+        self.n = n
+        self._b = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._b is None:
+            self._b = ray.get(self.bench_ref)  # sorted uint64
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        gh, gd = _word_gram_hashes(t, self.n)
+        hits = np.zeros(len(ids), dtype=np.int64)
+        if gh.size and self._b.size:
+            pos = np.searchsorted(self._b, gh)
+            pos[pos == self._b.size] = 0
+            m = self._b[pos] == gh
+            if m.any():
+                # distinct (doc, gram) pairs among the hits
+                hd, hg = gd[m], gh[m]
+                order = np.lexsort((hg, hd))
+                hd, hg = hd[order], hg[order]
+                keep = np.ones(hd.size, dtype=bool)
+                keep[1:] = (hd[1:] != hd[:-1]) | (hg[1:] != hg[:-1])
+                hits += np.bincount(hd[keep], minlength=len(ids))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_hits": pa.array(hits),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+
+def ngram_decontaminate(
+    docs: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    n: int = 8,
+    *,
+    max_bench_grams: int = 100_000_000,
+) -> ray.data.Dataset:
+    """(doc_id, n_hits, contaminated): flag training documents sharing any
+    word ``n``-gram with a benchmark/test set — the standard eval-set
+    decontamination pass of an LLM training-data pipeline.
+
+    Scale shape: the benchmark side is SMALL by nature (eval sets are
+    KB-MB even when the corpus is 100 TB) — its distinct gram hashes are
+    unified on the driver (guarded by ``max_bench_grams``) and broadcast
+    ONCE via ray.put; the corpus side is a single streaming map_batches
+    pass doing vectorized shingle-hash + searchsorted membership. No
+    shuffle at any point; corpus bytes are read exactly once."""
+    parts = bench.select_columns(["text"]).map_batches(
+        _BenchGrams(n), batch_format="pyarrow"
+    )
+    arrs = [
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
+        for b in (ray.get(r) for r in parts.to_arrow_refs())
+    ]
+    # zero-row input blocks can pass through map_batches untransformed
+    # (original schema, no "h" column) — they carry no grams either way
+    arrs = [a for a in arrs if a.num_rows and "h" in a.column_names]
+    hs = (
+        np.unique(np.concatenate([a["h"].to_numpy(zero_copy_only=False) for a in arrs]))
+        if arrs
+        else np.empty(0, np.int64)
+    )
+    if hs.size > max_bench_grams:
+        raise ValueError(
+            f"benchmark side has {hs.size} distinct {n}-grams — exceeds the "
+            f"broadcast budget max_bench_grams={max_bench_grams}; shrink the "
+            "benchmark set or raise the budget"
+        )
+    # bit-reinterpret back to uint64 and sort in THAT order (searchsorted
+    # in _NgramHits compares as uint64 — int64 sort order would be wrong)
+    bench_ref = ray.put(np.sort(hs.view(np.uint64)))
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _NgramHits(bench_ref, n), batch_format="pyarrow"
+    )

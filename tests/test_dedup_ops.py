@@ -175,3 +175,70 @@ def test_simhash_hot_bucket_star():
     pairs = simhash_near_duplicates(docs, max_hamming=3).take_all()
     assert len(pairs) == 99
     assert all(r["a"] == 0 and r["hamming"] == 0 for r in pairs)
+
+
+def test_ngram_decontaminate_exact_and_edges():
+    from graphblas_algorithms_ray.pipelines.dedup import ngram_decontaminate
+
+    bench_rows = [
+        {"doc_id": 100, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 101, "text": "one two three"},  # < n tokens: no grams
+    ]
+    train_rows = [
+        # contains bench 5-gram "beta gamma delta epsilon zeta" twice ->
+        # distinct count is still 1
+        {"doc_id": 0, "text": "x beta gamma delta epsilon zeta y "
+                              "beta gamma delta epsilon zeta"},
+        # two DISTINCT bench grams (sliding windows of the bench doc)
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 2, "text": "totally unrelated words nothing shared here at all"},
+        {"doc_id": 3, "text": "one two three"},  # short on both sides: clean
+        {"doc_id": 4, "text": ""},  # empty text
+    ]
+    res = (
+        ngram_decontaminate(
+            ray.data.from_items(train_rows),
+            ray.data.from_items(bench_rows),
+            n=5,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert res.loc[0, "n_hits"] == 1 and bool(res.loc[0, "contaminated"])
+    assert res.loc[1, "n_hits"] == 2 and bool(res.loc[1, "contaminated"])
+    assert res.loc[2, "n_hits"] == 0 and not bool(res.loc[2, "contaminated"])
+    assert res.loc[3, "n_hits"] == 0
+    assert res.loc[4, "n_hits"] == 0
+
+    # empty benchmark side -> every training doc is clean
+    res2 = (
+        ngram_decontaminate(
+            ray.data.from_items(train_rows),
+            ray.data.from_items([{"doc_id": 9, "text": "ab"}]),
+            n=5,
+        )
+        .to_pandas()
+    )
+    assert (res2["n_hits"] == 0).all()
+
+
+def test_ngram_decontaminate_matches_duckdb_sf0001():
+    import duckdb
+
+    from graphblas_algorithms_ray.api import ORACLE_SQL, QUERIES
+
+    res = (
+        QUERIES["ngram_decontaminate"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    exp = con.execute(ORACLE_SQL["ngram_decontaminate"]).df()
+    assert res.astype(exp.dtypes.to_dict()).equals(exp)
+    assert exp["contaminated"].sum() > 0  # the planted near-dups hit
