@@ -544,6 +544,14 @@ def q_ngram_decontaminate(sf_dir):
     return ngram_decontaminate(train, bench, n=5)
 
 
+def q_repetition_stats(sf_dir):
+    """Gopher-style repetition filters (dup-token fraction, top-bigram
+    occurrence fraction) — one shuffle-free pass over (doc_id, text)."""
+    from .pipelines.text import repetition_stats
+
+    return repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_bpe_token_counts(sf_dir):
     from .pipelines.text import bpe_token_counts
 
@@ -747,6 +755,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "bpe_token_counts": q_bpe_token_counts,
     "ngram_decontaminate": q_ngram_decontaminate,
+    "repetition_stats": q_repetition_stats,
 }
 
 
@@ -1041,6 +1050,25 @@ train AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 97 <> 0)
 SELECT train.doc_id, COALESCE(hits.n_hits, 0)::BIGINT AS n_hits,
        hits.doc_id IS NOT NULL AS contaminated
 FROM train LEFT JOIN hits USING (doc_id) ORDER BY doc_id""",
+    # Gopher-style repetition filters (Rae et al. 2021, occurrence-
+    # fraction variant). Fractions are single IEEE divisions of exact
+    # integers — bit-identical to the engine without rounding.
+    "repetition_stats": r"""WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents),
+flat AS (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS ord FROM toks),
+tok_stats AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                     COUNT(DISTINCT w)::BIGINT AS n_distinct FROM flat GROUP BY 1),
+big AS (SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY ord) AS bg FROM flat),
+bgc AS (SELECT doc_id, bg, COUNT(*)::BIGINT AS c FROM big WHERE bg IS NOT NULL GROUP BY 1, 2),
+bg_stats AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM bgc GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0)::BIGINT AS n_tokens,
+       CASE WHEN n_tokens > 0 THEN 1 - n_distinct::DOUBLE / n_tokens ELSE 0.0 END AS dup_token_frac,
+       COALESCE(top_c::DOUBLE / n_bg, 0.0) AS top_bigram_frac
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN tok_stats USING (doc_id) LEFT JOIN bg_stats USING (doc_id)
+ORDER BY doc_id""",
     "train_val_split": """SELECT doc_id,
   -- HUGEINT arithmetic: signed BIGINT would overflow for doc_id >= 2^32
   -- and silently diverge from the engine's uint64 wraparound (ADVICE r3)

@@ -719,3 +719,67 @@ def bpe_token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.select_columns(["doc_id", "text"]).map_batches(
         _count, batch_format="pyarrow"
     )
+
+
+class _RepetitionStats:
+    """Per-batch repetition/quality signals (Gopher-style filters, Rae et
+    al. 2021 §A1.1 — occurrence-fraction variant): per doc,
+    ``dup_token_frac`` = 1 - distinct/total tokens and
+    ``top_bigram_frac`` = occurrences of the doc's most frequent word
+    bigram / total bigram occurrences. One vectorized pass: tokenize →
+    xxhash → per-(doc, hash) run-length counts off a single lexsort →
+    per-doc reductions with np.*.reduceat. No shuffle; output is one row
+    per input row."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .dedup import _word_gram_hashes
+
+        t = t.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nd = len(ids)
+        n_tokens = np.zeros(nd, dtype=np.int64)
+        out = {
+            "doc_id": ids,
+            "n_tokens": n_tokens,
+            "dup_token_frac": np.zeros(nd, dtype=np.float64),
+            "top_bigram_frac": np.zeros(nd, dtype=np.float64),
+        }
+
+        def _per_doc_counts(n):
+            """(doc -> total grams, doc -> distinct grams, doc -> max
+            count of one gram) for word n-grams."""
+            gh, gd = _word_gram_hashes(t, n)
+            total = np.bincount(gd, minlength=nd).astype(np.int64)
+            if not gh.size:
+                z = np.zeros(nd, dtype=np.int64)
+                return total, z, z
+            order = np.lexsort((gh, gd))
+            gh, gd = gh[order], gd[order]
+            new_run = np.r_[True, (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])]
+            run_starts = np.nonzero(new_run)[0]
+            run_lens = np.diff(np.r_[run_starts, gh.size])
+            run_doc = gd[run_starts]
+            distinct = np.bincount(run_doc, minlength=nd).astype(np.int64)
+            doc_starts = np.nonzero(np.r_[True, run_doc[1:] != run_doc[:-1]])[0]
+            top = np.zeros(nd, dtype=np.int64)
+            top[run_doc[doc_starts]] = np.maximum.reduceat(run_lens, doc_starts)
+            return total, distinct, top
+
+        tot1, dis1, _ = _per_doc_counts(1)
+        n_tokens[:] = tot1
+        has = tot1 > 0
+        out["dup_token_frac"][has] = 1.0 - dis1[has] / tot1[has]
+        tot2, _, top2 = _per_doc_counts(2)
+        has2 = tot2 > 0
+        out["top_bigram_frac"][has2] = top2[has2] / tot2[has2]
+        return pa.table(out)
+
+
+def repetition_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n_tokens, dup_token_frac, top_bigram_frac): Gopher-style
+    repetition filters over the corpus — a single streaming map_batches
+    pass (every signal is per-document, so there is no shuffle and the
+    text column is read exactly once)."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _RepetitionStats(), batch_format="pyarrow"
+    )

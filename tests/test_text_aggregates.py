@@ -272,3 +272,52 @@ def test_bpe_token_counts_matches_python_re():
     got2 = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(ds2).take_all()}
     for i, s in enumerate(rows):
         assert got2[i] == len(pat.findall(s))
+
+
+def test_repetition_stats_values_and_edges():
+    import ray.data
+
+    from graphblas_algorithms_ray.pipelines.text import repetition_stats
+
+    rows = [
+        {"doc_id": 0, "text": "a b a b a b"},   # 6 tokens, 2 distinct;
+                                                 # bigrams: "a b"x3 "b a"x2 -> top 3/5
+        {"doc_id": 1, "text": "x y z"},          # all distinct, all bigrams unique
+        {"doc_id": 2, "text": "w"},              # one token: no bigrams
+        {"doc_id": 3, "text": ""},               # empty
+        {"doc_id": 4, "text": "  q   q  "},      # whitespace runs: 2 tokens 1 distinct
+    ]
+    res = (
+        repetition_stats(ray.data.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert res.loc[0, "n_tokens"] == 6
+    assert res.loc[0, "dup_token_frac"] == 1 - 2 / 6
+    assert res.loc[0, "top_bigram_frac"] == 3 / 5
+    assert res.loc[1, "dup_token_frac"] == 0.0
+    assert res.loc[1, "top_bigram_frac"] == 1 / 2
+    assert res.loc[2, "n_tokens"] == 1 and res.loc[2, "top_bigram_frac"] == 0.0
+    assert res.loc[3, "n_tokens"] == 0 and res.loc[3, "dup_token_frac"] == 0.0
+    assert res.loc[4, "n_tokens"] == 2 and res.loc[4, "dup_token_frac"] == 0.5
+
+
+def test_repetition_stats_matches_duckdb_sf0001():
+    import duckdb
+
+    from graphblas_algorithms_ray.api import ORACLE_SQL, QUERIES
+
+    res = (
+        QUERIES["repetition_stats"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    exp = con.execute(ORACLE_SQL["repetition_stats"]).df()
+    assert res.astype(exp.dtypes.to_dict()).equals(exp)
