@@ -65,3 +65,66 @@ def test_triangles_self_edge_invariance(seed):
     g1 = Graph(edges, n=n, directed=False, num_parts=3)
     g2 = Graph(edges + [(v, v) for v in range(0, n, 3)], n=n, directed=False, num_parts=3)
     assert total_triangles(g1) == total_triangles(g2)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10**6), n=st.integers(2, 4))
+def test_ngram_decontaminate_matches_python_sets(seed, n):
+    import ray.data
+
+    from graphblas_algorithms_ray.pipelines.dedup import ngram_decontaminate
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab -> real collisions of grams
+
+    def doc(i):
+        return {"doc_id": i, "text": " ".join(rng.choice(vocab, rng.randint(0, 15)))}
+
+    bench_rows = [doc(100 + i) for i in range(3)]
+    train_rows = [doc(i) for i in range(12)]
+
+    def grams(text):
+        t = text.split()
+        return {tuple(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    bench_grams = set().union(*(grams(r["text"]) for r in bench_rows))
+    expected = {
+        r["doc_id"]: len(grams(r["text"]) & bench_grams) for r in train_rows
+    }
+    res = (
+        ngram_decontaminate(
+            ray.data.from_items(train_rows), ray.data.from_items(bench_rows), n=n
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    for did, nh in expected.items():
+        assert res.loc[did, "n_hits"] == nh
+        assert bool(res.loc[did, "contaminated"]) == (nh > 0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10**6))
+def test_repetition_stats_matches_python(seed):
+    from collections import Counter
+
+    import ray.data
+
+    from graphblas_algorithms_ray.pipelines.text import repetition_stats
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(6)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, rng.randint(0, 12)))}
+        for i in range(15)
+    ]
+    res = repetition_stats(ray.data.from_items(rows)).to_pandas().set_index("doc_id")
+    for r in rows:
+        t = r["text"].split()
+        exp_dup = 1 - len(set(t)) / len(t) if t else 0.0
+        bg = Counter(zip(t, t[1:]))
+        exp_top = max(bg.values()) / sum(bg.values()) if bg else 0.0
+        got = res.loc[r["doc_id"]]
+        assert got["n_tokens"] == len(t)
+        assert got["dup_token_frac"] == exp_dup
+        assert got["top_bigram_frac"] == exp_top
