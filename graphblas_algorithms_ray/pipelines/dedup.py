@@ -670,24 +670,19 @@ def ngram_jaccard_pairs(
 _GRAM_PRIME = np.uint64(1099511628211)
 
 
-def _word_gram_hashes(t: pa.Table, n: int):
-    """(gram_hash uint64, doc_index int64) for every word n-gram of every
-    row of ``t`` (column ``text``). Tokenization matches the word_topk /
-    DuckDB convention exactly: split on \\s+, drop empty tokens, NO
-    lowercasing; docs with < n tokens contribute zero grams (no padding —
-    SQL has none either). Grams are equal iff their token sequences are
-    equal (tokens contain no whitespace, so ' '-joining is injective);
-    the rolling 64-bit polynomial over per-token xxhashes preserves that
-    equality up to negligible collision odds."""
+def _token_hashes(t: pa.Table):
+    """One tokenize+hash pass over ``t.text``: (token_hash uint64 flat
+    array, per-doc token counts L, per-doc start offsets). Tokenization
+    matches the word_topk / DuckDB convention exactly: split on \\s+,
+    drop empty tokens, NO lowercasing."""
     import polars as pl
     import pyarrow.compute as pc
 
-    from .._util import concat_ranges
-
     t = t.combine_chunks()
     nd = t.num_rows
+    empty = (np.empty(0, np.uint64), np.zeros(nd, np.int64), np.zeros(nd, np.int64))
     if nd == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
+        return empty
     toks = pc.split_pattern_regex(t["text"], r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -700,11 +695,23 @@ def _word_gram_hashes(t: pa.Table, n: int):
         doc_idx = doc_idx[nonempty]
     L = np.bincount(doc_idx, minlength=nd).astype(np.int64)
     if not len(values):
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
+        return empty
     th = pl.from_arrow(values).hash(seed=7).to_numpy().astype(np.uint64)
     starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+    return th, L, starts
+
+
+def _roll_grams(th, L, starts, n: int):
+    """(gram_hash uint64, doc_index int64) for every word n-gram, rolled
+    over the flat token-hash array from one _token_hashes pass. Docs with
+    < n tokens contribute zero grams (no padding — SQL has none either).
+    Grams are equal iff their token sequences are equal (tokens contain
+    no whitespace, so ' '-joining is injective); the rolling 64-bit
+    polynomial preserves that equality up to negligible collision odds."""
+    from .._util import concat_ranges
+
     sel = L >= n
-    if not sel.any():
+    if not th.size or not sel.any():
         return np.empty(0, np.uint64), np.empty(0, np.int64)
     ngrams = L[sel] - n + 1
     base = concat_ranges(starts[sel], ngrams)
@@ -713,6 +720,13 @@ def _word_gram_hashes(t: pa.Table, n: int):
         for j in range(n):
             acc = acc * _GRAM_PRIME + th[base + j]
     return acc, np.repeat(np.nonzero(sel)[0], ngrams)
+
+
+def _word_gram_hashes(t: pa.Table, n: int):
+    """(gram_hash uint64, doc_index int64) for every word n-gram of every
+    row of ``t`` (column ``text``) — one tokenize+hash pass + one roll."""
+    th, L, starts = _token_hashes(t)
+    return _roll_grams(th, L, starts, n)
 
 
 class _BenchGrams:

@@ -732,23 +732,21 @@ class _RepetitionStats:
     per input row."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from .dedup import _word_gram_hashes
+        from .dedup import _roll_grams, _token_hashes
 
         t = t.combine_chunks()
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         nd = len(ids)
-        n_tokens = np.zeros(nd, dtype=np.int64)
         out = {
             "doc_id": ids,
-            "n_tokens": n_tokens,
+            "n_tokens": np.zeros(nd, dtype=np.int64),
             "dup_token_frac": np.zeros(nd, dtype=np.float64),
             "top_bigram_frac": np.zeros(nd, dtype=np.float64),
         }
 
-        def _per_doc_counts(n):
+        def _per_doc_counts(gh, gd):
             """(doc -> total grams, doc -> distinct grams, doc -> max
-            count of one gram) for word n-grams."""
-            gh, gd = _word_gram_hashes(t, n)
+            count of one gram) from a (gram_hash, doc_index) stream."""
             total = np.bincount(gd, minlength=nd).astype(np.int64)
             if not gh.size:
                 z = np.zeros(nd, dtype=np.int64)
@@ -765,11 +763,13 @@ class _RepetitionStats:
             top[run_doc[doc_starts]] = np.maximum.reduceat(run_lens, doc_starts)
             return total, distinct, top
 
-        tot1, dis1, _ = _per_doc_counts(1)
-        n_tokens[:] = tot1
+        # ONE tokenize+hash pass feeds both the unigram and bigram stats
+        th, L, starts = _token_hashes(t)
+        tot1, dis1, _ = _per_doc_counts(*_roll_grams(th, L, starts, 1))
+        out["n_tokens"][:] = tot1
         has = tot1 > 0
         out["dup_token_frac"][has] = 1.0 - dis1[has] / tot1[has]
-        tot2, _, top2 = _per_doc_counts(2)
+        tot2, _, top2 = _per_doc_counts(*_roll_grams(th, L, starts, 2))
         has2 = tot2 > 0
         out["top_bigram_frac"][has2] = top2[has2] / tot2[has2]
         return pa.table(out)
