@@ -233,3 +233,66 @@ def sweep_graph_workdirs(max_age_hours: float = 6.0) -> int:
         except OSError:
             continue
     return removed
+
+
+# ---------------------------------------------------------------------------
+# shared word-tokenize + rolling-gram-hash kernel (dedup, decontamination,
+# repetition stats all roll n-grams off one per-batch token-hash pass)
+# ---------------------------------------------------------------------------
+
+# 64-bit FNV prime — the rolling-polynomial base for every shingle/gram
+# hash in the engine (one constant: retuning it must retune ALL consumers
+# together or their gram spaces silently diverge)
+GRAM_PRIME = np.uint64(1099511628211)
+
+
+def token_hashes(t, text_col: str = "text"):
+    """One tokenize+hash pass over a pyarrow table column: (token_hash
+    uint64 flat array, per-doc token counts L, per-doc start offsets).
+    Tokenization matches the word_topk / DuckDB oracle convention
+    exactly: split on \\s+, drop empty tokens, NO lowercasing."""
+    import polars as pl
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = t.combine_chunks()
+    nd = t.num_rows
+    empty = (np.empty(0, np.uint64), np.zeros(nd, np.int64), np.zeros(nd, np.int64))
+    if nd == 0:
+        return empty
+    toks = pc.split_pattern_regex(t[text_col], r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    values = toks.values
+    doc_idx = np.repeat(np.arange(nd, dtype=np.int64), offs[1:] - offs[:-1])
+    nonempty = pc.greater(pc.utf8_length(values), 0).to_numpy(zero_copy_only=False)
+    if nonempty.size and not nonempty.all():
+        values = values.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+    L = np.bincount(doc_idx, minlength=nd).astype(np.int64)
+    if not len(values):
+        return empty
+    th = pl.from_arrow(values).hash(seed=7).to_numpy().astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+    return th, L, starts
+
+
+def roll_grams(th, L, starts, n: int):
+    """(gram_hash uint64, doc_index int64) for every word n-gram, rolled
+    over the flat token-hash array from one token_hashes pass. Docs with
+    < n tokens contribute zero grams (no padding — the SQL oracles have
+    none either). Grams are equal iff their token sequences are equal
+    (tokens contain no whitespace, so ' '-joining is injective); the
+    rolling 64-bit polynomial preserves that equality up to negligible
+    collision odds."""
+    sel = L >= n
+    if not th.size or not sel.any():
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    ngrams = L[sel] - n + 1
+    base = concat_ranges(starts[sel], ngrams)
+    acc = np.zeros(base.size, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            acc = acc * GRAM_PRIME + th[base + j]
+    return acc, np.repeat(np.nonzero(sel)[0], ngrams)

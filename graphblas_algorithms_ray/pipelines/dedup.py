@@ -26,7 +26,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .._util import named
+from .._util import GRAM_PRIME, named
 
 _TOKEN = re.compile(r"\S+")
 _MERSENNE = np.uint64((1 << 61) - 1)
@@ -51,7 +51,6 @@ class _MinHash:
     ``_SimHash`` pattern). Docs with < k tokens pad with "$" to exactly one
     shingle (the round-1 semantics)."""
 
-    _PRIME = np.uint64(1099511628211)
     _pad = None
 
     def __init__(self, num_perm: int, k: int):
@@ -82,8 +81,6 @@ class _MinHash:
         import polars as pl
         import pyarrow.compute as pc
 
-        from .._util import concat_ranges
-
         t = t.combine_chunks()
         nd = t.num_rows
         if nd == 0:
@@ -112,13 +109,13 @@ class _MinHash:
         with np.errstate(over="ignore"):
             sel = L >= k
             if sel.any():
-                nsh = L[sel] - k + 1
-                base = concat_ranges(starts[sel], nsh)
-                acc = np.zeros(base.size, dtype=np.uint64)
-                for j in range(k):
-                    acc = acc * self._PRIME + th[base + j]
-                sh_parts.append(acc)
-                sd_parts.append(np.repeat(np.nonzero(sel)[0], nsh))
+                # shared rolling-gram kernel (same prime as every other
+                # shingle consumer — see _util.GRAM_PRIME)
+                from .._util import roll_grams
+
+                sh_sel, sd_sel = roll_grams(th, L, starts, k)
+                sh_parts.append(sh_sel)
+                sd_parts.append(sd_sel)
             ssel = L < k
             if ssel.any():
                 sdocs = np.nonzero(ssel)[0]
@@ -129,7 +126,7 @@ class _MinHash:
                     valid = j < Ls
                     safe = np.where(valid, st + j, 0)
                     term = th[safe] if th.size else np.zeros(sdocs.size, np.uint64)
-                    acc = acc * self._PRIME + np.where(valid, term, pad)
+                    acc = acc * GRAM_PRIME + np.where(valid, term, pad)
                 sh_parts.append(acc)
                 sd_parts.append(sdocs)
             sh = np.concatenate(sh_parts)
@@ -667,66 +664,14 @@ def ngram_jaccard_pairs(
 # benchmark decontamination: word-n-gram overlap against a broadcast test set
 # ---------------------------------------------------------------------------
 
-_GRAM_PRIME = np.uint64(1099511628211)
-
-
-def _token_hashes(t: pa.Table):
-    """One tokenize+hash pass over ``t.text``: (token_hash uint64 flat
-    array, per-doc token counts L, per-doc start offsets). Tokenization
-    matches the word_topk / DuckDB convention exactly: split on \\s+,
-    drop empty tokens, NO lowercasing."""
-    import polars as pl
-    import pyarrow.compute as pc
-
-    t = t.combine_chunks()
-    nd = t.num_rows
-    empty = (np.empty(0, np.uint64), np.zeros(nd, np.int64), np.zeros(nd, np.int64))
-    if nd == 0:
-        return empty
-    toks = pc.split_pattern_regex(t["text"], r"\s+")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    offs = np.asarray(toks.offsets, dtype=np.int64)
-    values = toks.values
-    doc_idx = np.repeat(np.arange(nd, dtype=np.int64), offs[1:] - offs[:-1])
-    nonempty = pc.greater(pc.utf8_length(values), 0).to_numpy(zero_copy_only=False)
-    if nonempty.size and not nonempty.all():
-        values = values.filter(pa.array(nonempty))
-        doc_idx = doc_idx[nonempty]
-    L = np.bincount(doc_idx, minlength=nd).astype(np.int64)
-    if not len(values):
-        return empty
-    th = pl.from_arrow(values).hash(seed=7).to_numpy().astype(np.uint64)
-    starts = np.concatenate([[0], np.cumsum(L)[:-1]])
-    return th, L, starts
-
-
-def _roll_grams(th, L, starts, n: int):
-    """(gram_hash uint64, doc_index int64) for every word n-gram, rolled
-    over the flat token-hash array from one _token_hashes pass. Docs with
-    < n tokens contribute zero grams (no padding — SQL has none either).
-    Grams are equal iff their token sequences are equal (tokens contain
-    no whitespace, so ' '-joining is injective); the rolling 64-bit
-    polynomial preserves that equality up to negligible collision odds."""
-    from .._util import concat_ranges
-
-    sel = L >= n
-    if not th.size or not sel.any():
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
-    ngrams = L[sel] - n + 1
-    base = concat_ranges(starts[sel], ngrams)
-    acc = np.zeros(base.size, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(n):
-            acc = acc * _GRAM_PRIME + th[base + j]
-    return acc, np.repeat(np.nonzero(sel)[0], ngrams)
-
-
 def _word_gram_hashes(t: pa.Table, n: int):
     """(gram_hash uint64, doc_index int64) for every word n-gram of every
-    row of ``t`` (column ``text``) — one tokenize+hash pass + one roll."""
-    th, L, starts = _token_hashes(t)
-    return _roll_grams(th, L, starts, n)
+    row of ``t`` (column ``text``) — one tokenize+hash pass + one roll
+    (shared kernel in _util: token_hashes / roll_grams)."""
+    from .._util import roll_grams, token_hashes
+
+    th, L, starts = token_hashes(t)
+    return roll_grams(th, L, starts, n)
 
 
 class _BenchGrams:
@@ -799,7 +744,7 @@ def ngram_decontaminate(
     )
     arrs = [
         pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch) else b
-        for b in (ray.get(r) for r in parts.to_arrow_refs())
+        for b in ray.get(parts.to_arrow_refs())  # one batched fetch wave
     ]
     # zero-row input blocks can pass through map_batches untransformed
     # (original schema, no "h" column) — they carry no grams either way

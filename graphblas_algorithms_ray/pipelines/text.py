@@ -732,7 +732,8 @@ class _RepetitionStats:
     per input row."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from .dedup import _roll_grams, _token_hashes
+        from .._util import roll_grams as _roll_grams
+        from .._util import token_hashes as _token_hashes
 
         t = t.combine_chunks()
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
