@@ -521,6 +521,19 @@ def q_ann_topk_lsh(sf_dir):
     return ann_topk_lsh(emb, [0, 1, 2], k=5, bits=6, hamming_probes=2)
 
 
+def q_ann_topk_ivf(sf_dir):
+    import ray.data
+
+    from .oracle_truth import write_ann_topk_ivf_expected
+    from .pipelines.ann import ann_topk_ivf
+
+    _oracle_side_table(
+        write_ann_topk_ivf_expected, sf_dir, [0, 1, 2], k=5, n_clusters=16, nprobe=4
+    )
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk_ivf(emb, [0, 1, 2], k=5, n_clusters=16, nprobe=4)
+
+
 def q_ngram_decontaminate(sf_dir):
     """Eval-set decontamination: training docs (doc_id % 97 != 0) flagged
     by any shared word 5-gram with the benchmark split (doc_id % 97 == 0).
@@ -756,6 +769,7 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "ngram_decontaminate": q_ngram_decontaminate,
     "repetition_stats": q_repetition_stats,
+    "ann_topk_ivf": q_ann_topk_ivf,
 }
 
 
@@ -1327,4 +1341,7 @@ ORACLE_SQL["ngram_jaccard"] = (
 )
 ORACLE_SQL["ann_topk_lsh"] = (
     f"SELECT qid, nid, score FROM read_parquet('{_EXPECTED}/ann_topk_lsh.parquet') ORDER BY qid, score DESC, nid"
+)
+ORACLE_SQL["ann_topk_ivf"] = (
+    f"SELECT qid, nid, score FROM read_parquet('{_EXPECTED}/ann_topk_ivf.parquet') ORDER BY qid, score DESC, nid"
 )

@@ -192,6 +192,88 @@ def write_minhash_groups_expected(
     return path
 
 
+def write_ann_topk_ivf_expected(
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    seed: int = 7,
+    round_to: int = 6,
+) -> str | None:
+    """Naive single-process IVF ANN: Lloyd spherical k-means with the same
+    spec constants as pipelines/ann.py (seed, 2^24 fixed-point accumulation
+    quantum, random-unit-vector init); fixed-point integer sums make the
+    fitted centroids bit-identical to the distributed fit regardless of
+    the engine's block order."""
+    if _too_big(os.path.join(sf_dir, "embeddings.parquet"), 100_000):
+        return None
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+    dim = m.shape[1]
+    scale = float(np.int64(1) << 24)
+
+    def norm_rows(x):
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return x / n
+
+    rng = np.random.RandomState(seed)
+    cents = norm_rows(rng.normal(size=(n_clusters, dim)))
+    q = np.round(m * scale).astype(np.int64)
+    mn = norm_rows(m)
+    for _ in range(iters):
+        cn = norm_rows(cents)
+        assign = [int(np.argmax(cn @ mn[j])) for j in range(len(ids))]
+        sums = [np.zeros(dim, dtype=np.int64) for _ in range(n_clusters)]
+        cnt = [0] * n_clusters
+        for j, c in enumerate(assign):
+            sums[c] = sums[c] + q[j]
+            cnt[c] += 1
+        new = cents.copy()
+        for c in range(n_clusters):
+            if cnt[c] > 0:
+                new[c] = sums[c] / (scale * cnt[c])
+        cents = new
+
+    cn = norm_rows(cents)
+    assign = {int(i): int(np.argmax(cn @ mn[j])) for j, i in enumerate(ids)}
+    qids = sorted(int(x) for x in query_ids)
+    idx_of = {int(i): j for j, i in enumerate(ids)}
+    npb = min(nprobe, n_clusters)
+    probe: set[int] = set()
+    for qid in qids:
+        sims = cn @ mn[idx_of[qid]]
+        probe.update(int(c) for c in np.argsort(-sims, kind="stable")[:npb])
+    scanned = [int(i) for i in ids if assign[int(i)] in probe]
+    out_q, out_n, out_s = [], [], []
+    for qid in qids:
+        qv = mn[idx_of[qid]]
+        scores = [(float(qv @ mn[idx_of[i]]), i) for i in scanned if i != qid]
+        scores.sort(key=lambda t2: (-t2[0], t2[1]))
+        for s, i in scores[:k]:
+            out_q.append(qid)
+            out_n.append(i)
+            out_s.append(float(np.round(s, round_to)))
+    path = os.path.join(expected_dir(sf_dir), "ann_topk_ivf.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "nid": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        ),
+        path,
+    )
+    return path
+
+
 def write_ann_topk_lsh_expected(
     sf_dir: str,
     query_ids: list[int],

@@ -432,6 +432,190 @@ def embedding_neardup_lsh(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (k-means inverted lists) scale path
+# ---------------------------------------------------------------------------
+
+_IVF_SCALE = float(np.int64(1) << 24)  # fixed-point accumulation quantum
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _init_centroids(n_clusters: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic, data-independent init: random unit vectors. No data
+    pass, no sampling shuffle — Lloyd iterations pull them onto the data."""
+    rng = np.random.RandomState(seed)
+    return _normalize_rows(rng.normal(size=(n_clusters, dim)))
+
+
+class _KmeansPartial:
+    """Per-batch: assign rows to the max-cosine broadcast centroid and emit
+    FIXED-POINT int64 partial sums + counts per cluster. Integer partials
+    make the reduction exactly order-independent, so the fitted centroids
+    are bit-identical run to run (and to the single-process oracle in
+    oracle_truth.py) no matter how Ray splits or orders the blocks.
+    int64 headroom: |x| <= 2^6 quantized at 2^24 holds ~2^33 rows per
+    cluster per batch-partial and the combine sums per-batch partials, so
+    overflow needs > ~1.4e13 rows in ONE cluster."""
+
+    def __init__(self, cents_ref):
+        self.cents_ref = cents_ref
+        self._c = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._c is None:
+            self._c = ray.get(self.cents_ref)  # normalized (k, dim)
+        m = _to_matrix(t["embedding"])
+        assign = np.argmax(_normalize_rows(m) @ self._c.T, axis=1)
+        q = np.round(m * _IVF_SCALE).astype(np.int64)
+        k = self._c.shape[0]
+        sums = np.zeros((k, m.shape[1]), dtype=np.int64)
+        np.add.at(sums, assign, q)
+        cnt = np.bincount(assign, minlength=k).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "cluster": pa.array(nz.astype(np.int64)),
+                "qsum": pa.array(list(sums[nz])),
+                "n": pa.array(cnt[nz]),
+            }
+        )
+
+
+class _KmeansCombine:
+    """Exact int64 reduction of one cluster's partials → a single row."""
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        qs = np.stack(
+            [np.asarray(x, dtype=np.int64) for x in g["qsum"].to_pylist()]
+        )
+        return pa.table(
+            {
+                "cluster": g["cluster"].slice(0, 1),
+                "qsum": pa.array([qs.sum(axis=0)]),
+                "n": pa.array(
+                    [int(g["n"].to_numpy(zero_copy_only=False).sum())], pa.int64()
+                ),
+            }
+        )
+
+
+def kmeans_fit(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 16,
+    *,
+    iters: int = 5,
+    seed: int = 7,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Distributed spherical-k-means (Lloyd) fit; returns (k, dim) float64
+    centroids (unnormalized means).
+
+    Each iteration is one streaming map_batches pass emitting per-batch
+    per-cluster fixed-point partials (k x dim ints per batch, independent
+    of batch rows), a groupby('cluster') combine of those partials, and a
+    k-row take — the data never moves, only O(k * dim * num_batches)
+    integers shuffle per iteration. Empty clusters keep their previous
+    centroid (deterministic)."""
+    if dim is None:
+        dim = len(embeddings.take(1)[0]["embedding"])
+    cents = _init_centroids(n_clusters, dim, seed)
+    for _ in range(iters):
+        ref = ray.put(_normalize_rows(cents))
+        combined = (
+            embeddings.map_batches(_KmeansPartial(ref), batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(named(_KmeansCombine()), batch_format="pyarrow")
+            .take_all()
+        )
+        new = cents.copy()
+        for row in combined:
+            c = int(row["cluster"])
+            n = int(row["n"])
+            if n > 0:
+                new[c] = np.asarray(row["qsum"], dtype=np.int64) / (
+                    _IVF_SCALE * n
+                )
+        cents = new
+    return cents
+
+
+class _IVFFilter:
+    """Keep rows whose nearest-centroid inverted list is probed (assignment
+    recomputed per batch against the broadcast centroids — cheaper than
+    shipping an assignment column through a join)."""
+
+    def __init__(self, cents_ref, lists_ref):
+        self.cents_ref, self.lists_ref = cents_ref, lists_ref
+        self._c = None
+        self._l = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._c is None:
+            self._c = ray.get(self.cents_ref)
+            self._l = ray.get(self.lists_ref)
+        m = _to_matrix(t["embedding"])
+        assign = np.argmax(_normalize_rows(m) @ self._c.T, axis=1)
+        return t.filter(pa.array(np.isin(assign, self._l)))
+
+
+def _take_queries(embeddings: ray.data.Dataset, query_ids) -> tuple[np.ndarray, np.ndarray]:
+    wanted = np.array(sorted(int(i) for i in query_ids), dtype=np.int64)
+
+    def _pick(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, wanted)))
+
+    q = embeddings.map_batches(_pick, batch_format="pyarrow").take_all()
+    qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q])
+    order = np.argsort(qids)
+    return qids[order], qm[order]
+
+
+def ann_topk_ivf(
+    embeddings: ray.data.Dataset,
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    iters: int = 5,
+    seed: int = 7,
+    round_to: int | None = 6,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k via IVF: a k-means fit partitions vectors
+    into inverted lists; each query scans only its `nprobe` nearest lists
+    (scan fraction ≈ nprobe/n_clusters on balanced data). Same output
+    contract as ann_topk; recall < 1 when a true neighbor's list is not
+    probed. nprobe >= n_clusters degenerates to exact brute force."""
+    cents = kmeans_fit(
+        embeddings, n_clusters, iters=iters, seed=seed
+    )
+    cn = _normalize_rows(cents)
+    qids, qm = _take_queries(embeddings, query_ids)
+    qsims = _normalize_rows(qm) @ cn.T  # (q, k_clusters)
+    npb = min(nprobe, n_clusters)
+    # stable sort: exact ties at the nprobe boundary resolve by cluster
+    # index, matching the single-process oracle's selection
+    probe = np.unique(
+        np.argsort(-qsims, axis=1, kind="stable")[:, :npb].ravel()
+    ).astype(np.int64)
+    cents_ref = ray.put(cn)
+    lists_ref = ray.put(probe)
+    q_ref = ray.put((qids, qm))
+    partial = embeddings.map_batches(
+        _IVFFilter(cents_ref, lists_ref), batch_format="pyarrow"
+    ).map_batches(_BatchTopK(q_ref, k), batch_format="pyarrow", batch_size=8192)
+    return partial.groupby("qid").map_groups(
+        named(_FinalTopK(k, round_to)), batch_format="pyarrow"
+    )
+
+
 def embedding_centroids(embeddings: ray.data.Dataset, label_col: str = "label") -> ray.data.Dataset:
     """(label, centroid list<double>, n): mean embedding per label —
     per-batch partial sums, one tiny combine."""

@@ -281,5 +281,7 @@ ALGORITHMS = {
     "map_isequal": _late("pipelines.nodeset", "map_isequal"),
     "bellman_ford_path_lengths": _late("pipelines.shortest_paths", "bellman_ford_path_lengths"),
     "ann_topk_lsh": _late("pipelines.ann", "ann_topk_lsh"),
+    "ann_topk_ivf": _late("pipelines.ann", "ann_topk_ivf"),
+    "kmeans_fit": _late("pipelines.ann", "kmeans_fit"),
     "language_id": _late("pipelines.text", "language_id"),
 }

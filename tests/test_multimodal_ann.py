@@ -214,6 +214,124 @@ def test_bucket_pairs_degenerate_bucket_capped():
     assert full.equals(blocked)
 
 
+def test_kmeans_fit_block_order_invariant():
+    # fixed-point int64 partials: the fitted centroids must be BIT-identical
+    # across different block structures (and runs) — the property the
+    # single-process oracle relies on
+    from graphblas_algorithms_ray.pipelines.ann import kmeans_fit
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(size=(300, 12))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    a = kmeans_fit(ray.data.from_items(rows).repartition(2), 8, iters=4)
+    b = kmeans_fit(ray.data.from_items(rows).repartition(13), 8, iters=4)
+    assert a.shape == (8, 12)
+    assert np.array_equal(a, b)  # exact, not allclose
+
+
+def test_kmeans_fit_matches_naive_replica():
+    from graphblas_algorithms_ray.pipelines.ann import (
+        _init_centroids,
+        _normalize_rows,
+        kmeans_fit,
+    )
+
+    rng = np.random.RandomState(9)
+    vecs = rng.normal(size=(200, 8))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(200)]
+    )
+    got = kmeans_fit(ds, 5, iters=3, seed=7)
+    # naive single-process Lloyd with the same spec constants
+    scale = float(np.int64(1) << 24)
+    cents = _init_centroids(5, 8, 7)
+    q = np.round(vecs * scale).astype(np.int64)
+    mn = _normalize_rows(vecs)
+    for _ in range(3):
+        cn = _normalize_rows(cents)
+        assign = np.array([int(np.argmax(cn @ mn[j])) for j in range(200)])
+        new = cents.copy()
+        for c in range(5):
+            idx = np.nonzero(assign == c)[0]
+            if idx.size:
+                new[c] = q[idx].sum(axis=0) / (scale * idx.size)
+        cents = new
+    assert np.array_equal(got, cents)
+
+
+def test_kmeans_fit_empty_clusters_keep_init():
+    # more clusters than points: untouched clusters keep their (normalized
+    # mean update never applied) previous centroid instead of NaN
+    from graphblas_algorithms_ray.pipelines.ann import kmeans_fit
+
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": [float(i + 1), 0.0]} for i in range(3)]
+    )
+    cents = kmeans_fit(ds, 8, iters=2, dim=2)
+    assert cents.shape == (8, 2)
+    assert np.isfinite(cents).all()
+
+
+def test_ann_topk_ivf_full_probe_equals_exact():
+    # nprobe == n_clusters degenerates to exact brute force
+    from graphblas_algorithms_ray.pipelines.ann import ann_topk, ann_topk_ivf
+
+    rng = np.random.RandomState(13)
+    vecs = rng.normal(size=(150, 16))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(150)]
+    )
+    exact = {
+        (r["qid"], r["nid"]): r["score"]
+        for r in ann_topk(ds, [1, 5], k=4).take_all()
+    }
+    ivf = {
+        (r["qid"], r["nid"]): r["score"]
+        for r in ann_topk_ivf(ds, [1, 5], k=4, n_clusters=6, nprobe=6).take_all()
+    }
+    assert ivf == exact
+
+
+def test_ann_topk_ivf_planted_neighbors():
+    # planted twins must be found scanning only nprobe of n_clusters lists
+    from graphblas_algorithms_ray.pipelines.ann import ann_topk_ivf
+
+    rng = np.random.RandomState(21)
+    base = rng.normal(size=(200, 32))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(200)]
+    for j, q in enumerate((3, 17, 99)):
+        rows.append(
+            {
+                "vec_id": 200 + j,
+                "embedding": (base[q] + rng.normal(scale=0.01, size=32)).tolist(),
+            }
+        )
+    ds = ray.data.from_items(rows)
+    res = ann_topk_ivf(ds, [200, 201, 202], k=3, n_clusters=8, nprobe=2).take_all()
+    top = {}
+    for r in res:
+        top.setdefault(r["qid"], []).append((r["score"], r["nid"]))
+    for j, q in enumerate((3, 17, 99)):
+        assert max(top[200 + j])[1] == q, (j, top[200 + j])
+
+
+def test_ann_topk_ivf_oracle_parity_sf0001():
+    # the engine on the real testdata parquet must reproduce the naive
+    # single-process oracle (oracle_truth.write_ann_topk_ivf_expected)
+    import pyarrow.parquet as pq
+
+    from graphblas_algorithms_ray.oracle_truth import write_ann_topk_ivf_expected
+    from graphblas_algorithms_ray.pipelines.ann import ann_topk_ivf
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = write_ann_topk_ivf_expected(sf_dir, [0, 1, 2], k=5, n_clusters=16, nprobe=4)
+    want = pq.read_table(path).to_pylist()
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    got = ann_topk_ivf(emb, [0, 1, 2], k=5, n_clusters=16, nprobe=4).take_all()
+    key = lambda r: (r["qid"], -r["score"], r["nid"])
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
 def test_embedding_neardup_autoroutes_to_lsh():
     import numpy as np
     import ray.data
