@@ -521,6 +521,15 @@ def q_ann_topk_lsh(sf_dir):
     return ann_topk_lsh(emb, [0, 1, 2], k=5, bits=6, hamming_probes=2)
 
 
+def q_stratified_sample(sf_dir):
+    """Deterministic 20-per-language sample by Knuth-hash order — the
+    reproducible stratified subset an LLM pipeline pins for eval/inspection
+    (pipelines/text.stratified_sample; pre-prune + tiny shuffle)."""
+    from .pipelines.text import stratified_sample
+
+    return stratified_sample(_docs(sf_dir, ["doc_id", "lang"]), n=20)
+
+
 def q_ann_topk_ivf(sf_dir):
     import ray.data
 
@@ -770,6 +779,7 @@ QUERIES = {
     "ngram_decontaminate": q_ngram_decontaminate,
     "repetition_stats": q_repetition_stats,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "stratified_sample": q_stratified_sample,
 }
 
 
@@ -1342,6 +1352,13 @@ ORACLE_SQL["ngram_jaccard"] = (
 ORACLE_SQL["ann_topk_lsh"] = (
     f"SELECT qid, nid, score FROM read_parquet('{_EXPECTED}/ann_topk_lsh.parquet') ORDER BY qid, score DESC, nid"
 )
+ORACLE_SQL["stratified_sample"] = """SELECT lang, doc_id, sample_rank FROM (
+  SELECT lang, doc_id, row_number() OVER (
+    PARTITION BY lang
+    -- HUGEINT: same uint64-wraparound-safe hash as train_val_split
+    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
+  ) AS sample_rank FROM documents) WHERE sample_rank <= 20
+ORDER BY lang, sample_rank"""
 ORACLE_SQL["ann_topk_ivf"] = (
     f"SELECT qid, nid, score FROM read_parquet('{_EXPECTED}/ann_topk_ivf.parquet') ORDER BY qid, score DESC, nid"
 )

@@ -695,6 +695,68 @@ def assign_splits(
     )
 
 
+class _StratSamplePartial:
+    """Per-batch combiner for stratified_sample: keep only each group's n
+    smallest (hash, doc_id) rows; the final per-group stage recomputes the
+    hash (stateless) and emits ranks."""
+
+    def __init__(self, n: int, group_col: str, emit_rank: bool = False):
+        self.n, self.group_col, self.emit_rank = n, group_col, emit_rank
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        group = t[self.group_col].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            out = {self.group_col: t[self.group_col], "doc_id": t["doc_id"]}
+            if self.emit_rank:
+                out["sample_rank"] = pa.array([], pa.int64())
+            return pa.table(out)
+        h = (ids * np.uint64(2654435761)) % (np.uint64(1) << np.uint64(32))
+        order = np.lexsort((ids, h, group))
+        gs = group[order]
+        new_run = np.empty(gs.size, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = gs[1:] != gs[:-1]
+        run_starts = np.nonzero(new_run)[0]
+        rank = np.arange(gs.size) - np.repeat(
+            run_starts, np.diff(np.append(run_starts, gs.size))
+        )
+        sel = rank < self.n
+        keep = order[sel]
+        out = {
+            self.group_col: pa.array(group[keep]),
+            "doc_id": pa.array(ids[keep].astype(np.int64)),
+        }
+        if self.emit_rank:
+            out["sample_rank"] = pa.array((rank[sel] + 1).astype(np.int64))
+        return pa.table(out)
+
+
+def stratified_sample(
+    docs: ray.data.Dataset, n: int = 20, group_col: str = "lang"
+) -> ray.data.Dataset:
+    """(group, doc_id, sample_rank): a deterministic n-per-group sample —
+    each group's n smallest documents by (Knuth multiplicative hash of
+    doc_id, doc_id). Hash order is a uniform pseudo-random permutation
+    that is reproducible across runs, machines and partitionings (never
+    sample by row position: block boundaries are not stable), so the same
+    corpus always yields the same sample and a re-run can extend n
+    monotonically (rank <= old n rows are unchanged).
+
+    Scale shape: the same pre-prune + tiny-shuffle pattern as
+    top_docs_per_lang — each batch collapses to its own per-group top-n
+    first, so shuffle volume is O(batches * groups * n), never O(rows)."""
+    partial = docs.select_columns([group_col, "doc_id"]).map_batches(
+        _StratSamplePartial(n, group_col), batch_format="pyarrow"
+    )
+    from .._util import named
+
+    return partial.groupby(group_col).map_groups(
+        named(_StratSamplePartial(n, group_col, emit_rank=True)),
+        batch_format="pyarrow",
+    )
+
+
 _BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 

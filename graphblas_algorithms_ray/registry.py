@@ -284,4 +284,5 @@ ALGORITHMS = {
     "ann_topk_ivf": _late("pipelines.ann", "ann_topk_ivf"),
     "kmeans_fit": _late("pipelines.ann", "kmeans_fit"),
     "language_id": _late("pipelines.text", "language_id"),
+    "stratified_sample": _late("pipelines.text", "stratified_sample"),
 }

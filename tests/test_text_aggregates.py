@@ -321,3 +321,58 @@ def test_repetition_stats_matches_duckdb_sf0001():
     )
     exp = con.execute(ORACLE_SQL["repetition_stats"]).df()
     assert res.astype(exp.dtypes.to_dict()).equals(exp)
+
+
+def _strat_oracle(rows, n):
+    df = pd.DataFrame([{"doc_id": r["doc_id"], "lang": r["lang"]} for r in rows])
+    h = (df["doc_id"].astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+    df = df.assign(h=h).sort_values(["lang", "h", "doc_id"])
+    df["sample_rank"] = df.groupby("lang").cumcount() + 1
+    return df[df["sample_rank"] <= n][["lang", "doc_id", "sample_rank"]]
+
+
+def test_stratified_sample_matches_oracle_and_partition_invariant():
+    from graphblas_algorithms_ray.pipelines.text import stratified_sample
+
+    rows = _corpus()
+    want = _strat_oracle(rows, 7).sort_values(["lang", "sample_rank"]).reset_index(drop=True)
+    for parts in (2, 11):
+        ds = ray.data.from_items(rows).repartition(parts)
+        got = (
+            stratified_sample(ds, n=7)
+            .to_pandas()
+            .sort_values(["lang", "sample_rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["lang", "doc_id", "sample_rank"]], want)
+
+
+def test_stratified_sample_extends_monotonically():
+    # growing n must keep every existing (doc_id, rank) pair — the property
+    # that lets a pinned eval sample be extended without churn
+    from graphblas_algorithms_ray.pipelines.text import stratified_sample
+
+    ds = ray.data.from_items(_corpus())
+    small = {
+        (r["lang"], r["doc_id"]): r["sample_rank"]
+        for r in stratified_sample(ds, n=4).take_all()
+    }
+    big = {
+        (r["lang"], r["doc_id"]): r["sample_rank"]
+        for r in stratified_sample(ds, n=9).take_all()
+    }
+    assert set(small) <= set(big)
+    for k, v in small.items():
+        assert big[k] == v
+
+
+def test_stratified_sample_small_groups_exhausted():
+    from graphblas_algorithms_ray.pipelines.text import stratified_sample
+
+    rows = [{"doc_id": i, "lang": "solo" if i < 2 else "rest"} for i in range(10)]
+    out = stratified_sample(ray.data.from_items(rows), n=5).take_all()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert sorted(by_lang["solo"]) == [1, 2]  # min(n, group size)
+    assert sorted(by_lang["rest"]) == [1, 2, 3, 4, 5]
