@@ -50,7 +50,11 @@ class _BatchTopK:
             if cand.size == 0:
                 continue
             k = min(self.k, cand.size)
-            top = cand[np.argpartition(-s[cand], k - 1)[:k]]
+            # lexsort, not argpartition: exact score ties at the per-batch
+            # k boundary resolve by nid ascending, so the surviving
+            # candidate set is partition-invariant and matches the
+            # single-process oracles' (-score, nid) ordering
+            top = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
             out_q.append(np.full(k, qid, np.int64))
             out_n.append(ids[top])
             out_s.append(s[top])
@@ -97,17 +101,8 @@ def ann_topk(
     round_to: int | None = 6,
 ) -> ray.data.Dataset:
     """(qid, nid, score): exact cosine top-k per query id (self excluded)."""
-    wanted = set(int(i) for i in query_ids)
-
-    def _pick(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(ids, list(wanted))))
-
-    q = embeddings.map_batches(_pick, batch_format="pyarrow").take_all()
-    qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
-    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q])
-    order = np.argsort(qids)
-    q_ref = ray.put((qids[order], qm[order]))
+    qids, qm = _take_queries(embeddings, query_ids)
+    q_ref = ray.put((qids, qm))
     partial = embeddings.map_batches(
         _BatchTopK(q_ref, k), batch_format="pyarrow", batch_size=8192
     )
@@ -187,17 +182,7 @@ def ann_topk_lsh(
     bucket is within `hamming_probes` bit flips of a query's bucket are
     scanned (multi-probe IVF-style; scan fraction ≈ (1+bits)/2^bits at one
     probe). Same output contract as ann_topk, approximate recall."""
-    wanted = set(int(i) for i in query_ids)
-
-    def _pick(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(ids, list(wanted))))
-
-    q = embeddings.map_batches(_pick, batch_format="pyarrow").take_all()
-    qids = np.array([r["vec_id"] for r in q], dtype=np.int64)
-    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q])
-    order = np.argsort(qids)
-    qids, qm = qids[order], qm[order]
+    qids, qm = _take_queries(embeddings, query_ids)
     dim = qm.shape[1]
     planes = _hyperplanes(dim, bits)
     qbits = (qm @ planes.T) > 0
@@ -520,7 +505,15 @@ def kmeans_fit(
     of batch rows), a groupby('cluster') combine of those partials, and a
     k-row take — the data never moves, only O(k * dim * num_batches)
     integers shuffle per iteration. Empty clusters keep their previous
-    centroid (deterministic)."""
+    centroid (deterministic).
+
+    Known limitation: the fixed-point sums make the REDUCTION exactly
+    order-independent, but cluster ASSIGNMENT is an argmax over float
+    dot products — a row whose two best centroids tie within a few ulps
+    can assign differently under a different BLAS build (dgemm vs dgemv
+    accumulation order). Within one build the fit is bit-reproducible
+    (asserted in tests); cross-build reproducibility holds unless such
+    a near-tie exists in the data."""
     if dim is None:
         dim = len(embeddings.take(1)[0]["embedding"])
     cents = _init_centroids(n_clusters, dim, seed)

@@ -675,14 +675,12 @@ def assign_splits(
     Knuth multiplicative hash of the id — reproducible across runs,
     machines and partitionings (never sample by row position: block
     boundaries are not stable). Stateless per batch; no shuffle at all."""
-    m = np.uint64(2654435761)
-    mod = np.uint64(1) << np.uint64(32)
     val_cut = np.uint64(int(val_frac * (1 << 32)))
     test_cut = np.uint64(int((val_frac + test_frac) * (1 << 32)))
 
     def _assign(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (ids * m) % mod
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = _knuth32(ids)
         out = np.where(
             h < val_cut, "val", np.where(h < test_cut, "test", "train")
         )
@@ -695,36 +693,47 @@ def assign_splits(
     )
 
 
+def _knuth32(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash mod 2^32 of int ids (uint64 wraparound) —
+    the ONE spec constant shared by assign_splits, stratified_sample and
+    their HUGEINT SQL oracles."""
+    return (ids.astype(np.uint64) * np.uint64(2654435761)) % (
+        np.uint64(1) << np.uint64(32)
+    )
+
+
 class _StratSamplePartial:
     """Per-batch combiner for stratified_sample: keep only each group's n
     smallest (hash, doc_id) rows; the final per-group stage recomputes the
-    hash (stateless) and emits ranks."""
+    hash (stateless) and emits ranks. Both the empty and nonempty paths
+    emit identical schemas (group column keeps its input Arrow type,
+    doc_id is normalized to int64) so blocks unify under the groupby."""
 
     def __init__(self, n: int, group_col: str, emit_rank: bool = False):
         self.n, self.group_col, self.emit_rank = n, group_col, emit_rank
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        group = t[self.group_col].to_numpy(zero_copy_only=False)
-        if ids.size == 0:
-            out = {self.group_col: t[self.group_col], "doc_id": t["doc_id"]}
-            if self.emit_rank:
-                out["sample_rank"] = pa.array([], pa.int64())
-            return pa.table(out)
-        h = (ids * np.uint64(2654435761)) % (np.uint64(1) << np.uint64(32))
-        order = np.lexsort((ids, h, group))
-        gs = group[order]
-        new_run = np.empty(gs.size, dtype=bool)
-        new_run[0] = True
-        new_run[1:] = gs[1:] != gs[:-1]
-        run_starts = np.nonzero(new_run)[0]
-        rank = np.arange(gs.size) - np.repeat(
-            run_starts, np.diff(np.append(run_starts, gs.size))
-        )
-        sel = rank < self.n
-        keep = order[sel]
+        if ids.size == 0 or self.n <= 0:
+            sel = np.zeros(0, dtype=bool)
+            keep = np.zeros(0, dtype=np.int64)
+            rank = np.zeros(0, dtype=np.int64)
+        else:
+            group = t[self.group_col].to_numpy(zero_copy_only=False)
+            h = _knuth32(ids)
+            order = np.lexsort((ids, h, group))
+            gs = group[order]
+            new_run = np.empty(gs.size, dtype=bool)
+            new_run[0] = True
+            new_run[1:] = gs[1:] != gs[:-1]
+            run_starts = np.nonzero(new_run)[0]
+            rank = np.arange(gs.size) - np.repeat(
+                run_starts, np.diff(np.append(run_starts, gs.size))
+            )
+            sel = rank < self.n
+            keep = order[sel]
         out = {
-            self.group_col: pa.array(group[keep]),
+            self.group_col: t[self.group_col].take(pa.array(keep)),
             "doc_id": pa.array(ids[keep].astype(np.int64)),
         }
         if self.emit_rank:

@@ -351,3 +351,21 @@ def test_embedding_neardup_autoroutes_to_lsh():
     routed = {(r["id_a"], r["id_b"]) for r in routed_rows}
     # LSH precision is exact: every routed pair is a true pair
     assert routed <= exact
+
+
+def test_batch_topk_ties_resolve_by_nid():
+    # duplicate vectors tie exactly at the per-batch k boundary: the kept
+    # candidate must be the lowest nid, partition-invariantly (review r5)
+    from graphblas_algorithms_ray.pipelines.ann import ann_topk
+
+    v = [1.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0]
+    rows = [{"vec_id": 0, "embedding": v}]
+    # 6 identical candidates (score 1.0) + distractors; k=2 must pick 1,2
+    for i in (5, 4, 3, 2, 1, 6):
+        rows.append({"vec_id": i, "embedding": v})
+    rows.append({"vec_id": 7, "embedding": w})
+    for parts in (1, 4):
+        ds = ray.data.from_items(rows).repartition(parts)
+        out = ann_topk(ds, [0], k=2).take_all()
+        assert sorted(r["nid"] for r in out) == [1, 2], (parts, out)

@@ -376,3 +376,14 @@ def test_stratified_sample_small_groups_exhausted():
         by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
     assert sorted(by_lang["solo"]) == [1, 2]  # min(n, group size)
     assert sorted(by_lang["rest"]) == [1, 2, 3, 4, 5]
+
+
+def test_stratified_sample_n_zero_and_empty_blocks():
+    from graphblas_algorithms_ray.pipelines.text import stratified_sample
+
+    rows = [{"doc_id": i, "lang": "en"} for i in range(5)]
+    assert stratified_sample(ray.data.from_items(rows), n=0).take_all() == []
+    # empty blocks mixed with nonempty ones must not diverge in schema
+    ds = ray.data.from_items(rows).repartition(8)  # some blocks empty
+    out = stratified_sample(ds, n=3).take_all()
+    assert len(out) == 3
