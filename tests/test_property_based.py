@@ -128,3 +128,56 @@ def test_repetition_stats_matches_python(seed):
         assert got["n_tokens"] == len(t)
         assert got["dup_token_frac"] == exp_dup
         assert got["top_bigram_frac"] == exp_top
+
+
+@settings(max_examples=10, deadline=None)
+@given(ids=st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=50, unique=True))
+def test_knuth32_matches_duckdb_hugeint(ids):
+    # the engine's split/sample hash must equal the HUGEINT SQL the oracles
+    # use, including uint64 wraparound above 2^32 (ADVICE r3 class of bug)
+    import duckdb
+
+    from graphblas_algorithms_ray.pipelines.text import _knuth32
+
+    got = _knuth32(np.array(ids, dtype=np.uint64)).astype(np.int64)
+    want = duckdb.sql(
+        "SELECT (CAST(i AS HUGEINT) * 2654435761) % 4294967296 AS h "
+        "FROM (SELECT unnest(?::BIGINT[]) AS i)",
+        params=[ids],
+    ).fetchnumpy()["h"]
+    assert list(got) == [int(x) for x in want]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    n=st.integers(1, 8),
+    n_rows=st.integers(0, 60),
+)
+def test_strat_sample_partial_matches_bruteforce(seed, n, n_rows):
+    # the per-batch combiner (also the final per-group stage) must pick
+    # exactly the n smallest (hash, id) per group with 1-based dense ranks
+    import pyarrow as pa
+
+    from graphblas_algorithms_ray.pipelines.text import (
+        _knuth32,
+        _StratSamplePartial,
+    )
+
+    rng = np.random.RandomState(seed)
+    ids = rng.choice(10**6, size=n_rows, replace=False).astype(np.int64)
+    groups = rng.choice(["a", "b", "c"], size=n_rows)
+    t = pa.table({"lang": pa.array(groups), "doc_id": pa.array(ids)})
+    out = _StratSamplePartial(n, "lang", emit_rank=True)(t)
+    got = {
+        (r["lang"], r["doc_id"]): r["sample_rank"] for r in out.to_pylist()
+    }
+    h = _knuth32(ids)
+    want = {}
+    for gname in set(groups.tolist()):
+        members = sorted(
+            (int(h[j]), int(ids[j])) for j in range(n_rows) if groups[j] == gname
+        )
+        for rank, (_, did) in enumerate(members[:n], start=1):
+            want[(gname, did)] = rank
+    assert got == want
