@@ -250,7 +250,150 @@ def run_skew() -> dict:
     }
 
 
+def run_ann() -> dict:
+    """ANN microbench over a synthetic 1M x 64 embedding table (vectors are
+    a pure splitmix64 function of vec_id — deterministic under any
+    partitioning, no external data): brute-force cosine top-k vs the IVF
+    scale path (64 lists, nprobe=8 → ~12.5% scan fraction), plus the
+    k-means fit cost alone. Reports recall@k of IVF vs exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+        )
+    from graphblas_algorithms_ray.pipelines.ann import (
+        _take_queries,
+        ann_topk,
+        ann_topk_ivf,
+        ann_topk_ivf_indexed,
+        ivf_index_write,
+        kmeans_fit,
+    )
+
+    n = int(os.environ.get("GRAFT_ANN_N", "1000000"))
+    dim, q, k = 64, 256, 10
+
+    def _gen(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = (
+                ids[:, None] * np.uint64(dim)
+                + np.arange(dim, dtype=np.uint64)[None, :]
+            ) + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+        v = (z >> np.uint64(11)).astype(np.float64) / float(1 << 53) * 2.0 - 1.0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "embedding": pa.array(list(v)),
+            }
+        )
+
+    ds = ray.data.range(n).map_batches(_gen, batch_format="pyarrow").materialize()
+    qids = list(range(q))
+
+    t0 = time.perf_counter()
+    exact_rows = ann_topk(ds, qids, k=k).take_all()
+    sec_exact = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    kmeans_fit(ds, 64, iters=5, dim=dim)
+    sec_fit = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ivf_rows = ann_topk_ivf(ds, qids, k=k, n_clusters=64, nprobe=8).take_all()
+    sec_ivf_total = round(time.perf_counter() - t0, 3)
+
+    # the on-disk layout: one parquet dir per inverted list → probes prune
+    # at the READ. That is a SERVING-regime win (few queries per call);
+    # a 256-query batch unions to every list, so the indexed leg is
+    # measured at q=8 with fine-grained lists (256, nprobe=16 → ~6% scan
+    # per query) and reports the MEASURED read fraction.
+    import shutil
+
+    q_serve, n_lists, nprobe_serve = 8, 256, 16
+    index_dir = "/tmp/gar/ann_index_bench"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ivf_index_write(ds, index_dir, n_clusters=n_lists, iters=5)
+    sec_index_write = round(time.perf_counter() - t0, 3)
+    qv_ids, qv_m = _take_queries(ds, list(range(q_serve)))
+    stats = {}
+    t0 = time.perf_counter()
+    idx_rows = ann_topk_ivf_indexed(
+        index_dir, qv_ids, qv_m, k=k, nprobe=nprobe_serve, stats_out=stats
+    ).take_all()
+    sec_indexed_search = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    serve_exact_rows = ann_topk(ds, list(range(q_serve)), k=k).take_all()
+    sec_serve_exact = round(time.perf_counter() - t0, 3)
+    # like-for-like IO baseline: the exact scan above reads PLASMA-resident
+    # blocks (free IO); at 100 TB nothing is resident, so also time the
+    # exact scan from cold flat parquet — the honest denominator for the
+    # indexed path's read pruning
+    flat_dir = "/tmp/gar/ann_flat_bench"
+    shutil.rmtree(flat_dir, ignore_errors=True)
+    ds.write_parquet(flat_dir)
+    flat = ray.data.read_parquet(flat_dir, columns=["vec_id", "embedding"])
+    t0 = time.perf_counter()
+    flat_rows = ann_topk(flat, list(range(q_serve)), k=k).take_all()
+    sec_serve_exact_parquet = round(time.perf_counter() - t0, 3)
+    assert {(r["qid"], r["nid"]) for r in flat_rows} == {
+        (r["qid"], r["nid"]) for r in serve_exact_rows
+    }
+    shutil.rmtree(flat_dir, ignore_errors=True)
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    exact_set = {(r["qid"], r["nid"]) for r in exact_rows}
+    ivf_set = {(r["qid"], r["nid"]) for r in ivf_rows}
+    idx_set = {(r["qid"], r["nid"]) for r in idx_rows}
+    serve_exact_set = {(r["qid"], r["nid"]) for r in serve_exact_rows}
+    recall = round(len(ivf_set & exact_set) / max(1, len(exact_set)), 4)
+    recall_idx = round(
+        len(idx_set & serve_exact_set) / max(1, len(serve_exact_set)), 4
+    )
+    frac_read = round(
+        stats.get("bytes_probed", 0) / max(1, stats.get("bytes_total", 1)), 4
+    )
+    return {
+        "metric": "ann_microbench",
+        "n": n,
+        "dim": dim,
+        "q": q,
+        "k": k,
+        "sec_exact": sec_exact,
+        "sec_kmeans_fit": sec_fit,
+        "sec_ivf_fit_plus_search": sec_ivf_total,
+        "sec_ivf_search": round(sec_ivf_total - sec_fit, 3),
+        "sec_index_write": sec_index_write,
+        "q_serve": q_serve,
+        "n_lists": n_lists,
+        "nprobe_serve": nprobe_serve,
+        "sec_indexed_search": sec_indexed_search,
+        "sec_serve_exact_plasma": sec_serve_exact,
+        "sec_serve_exact_parquet": sec_serve_exact_parquet,
+        "frac_bytes_read_indexed": frac_read,
+        "recall_ivf": recall,
+        "recall_ivf_indexed": recall_idx,
+        "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+    }
+
+
 def main():
+    if "--ann" in sys.argv:
+        print(json.dumps(run_ann()))
+        import ray
+
+        ray.shutdown()
+        return
     if "--skew" in sys.argv:
         print(json.dumps(run_skew()))
         import ray

@@ -609,6 +609,149 @@ def ann_topk_ivf(
     )
 
 
+class _AssignList:
+    """Append the nearest-centroid inverted-list id as a column."""
+
+    def __init__(self, cents_ref):
+        self.cents_ref = cents_ref
+        self._c = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self._c is None:
+            self._c = ray.get(self.cents_ref)
+        m = _to_matrix(t["embedding"])
+        assign = np.argmax(_normalize_rows(m) @ self._c.T, axis=1)
+        return t.append_column("list", pa.array(assign.astype(np.int64)))
+
+
+def ivf_index_write(
+    embeddings: ray.data.Dataset,
+    index_dir: str,
+    *,
+    n_clusters: int = 64,
+    iters: int = 5,
+    seed: int = 7,
+) -> np.ndarray:
+    """Build an on-disk IVF index: fit k-means, then write the vectors as
+    Parquet PARTITIONED BY inverted list (one directory per list). This is
+    the 100-TB search layout — a probe then prunes at the READ and touches
+    only nprobe/n_clusters of the bytes, instead of streaming the whole
+    table through a filter (the in-situ ann_topk_ivf path saves matmul but
+    still reads every block; at scan-bound shapes that saves nothing).
+    Returns the fitted centroids; they are also persisted to
+    <index_dir>/centroids.parquet so searches can open the index cold."""
+    import os
+
+    cents = kmeans_fit(embeddings, n_clusters, iters=iters, seed=seed)
+    cents_ref = ray.put(_normalize_rows(cents))
+    # sort by list before the partitioned write: ONE range shuffle
+    # co-locates each inverted list into a handful of contiguous files
+    # (without it every (block x list) pair writes its own tiny file and
+    # a probe pays thousands of file opens). This shuffle IS the index
+    # build cost — paid once, amortized over every search.
+    embeddings.map_batches(
+        _AssignList(cents_ref), batch_format="pyarrow"
+    ).sort("list").write_parquet(index_dir, partition_cols=["list"])
+    pq_path = os.path.join(index_dir, "centroids.parquet")
+    import pyarrow.parquet as pqt
+
+    pqt.write_table(
+        pa.table(
+            {
+                "cluster": pa.array(np.arange(cents.shape[0], dtype=np.int64)),
+                "centroid": pa.array(list(cents)),
+            }
+        ),
+        pq_path,
+    )
+    return cents
+
+
+def ann_topk_ivf_indexed(
+    index_dir: str,
+    qids: np.ndarray,
+    qm: np.ndarray,
+    k: int = 5,
+    *,
+    nprobe: int = 8,
+    round_to: int | None = 6,
+    stats_out: dict | None = None,
+) -> ray.data.Dataset:
+    """Search an ivf_index_write index: read ONLY the nprobe nearest
+    inverted-list partitions per query (union across queries) — IO is
+    pruned at the read, the unprobed partitions never leave storage.
+    Query vectors are passed directly (qids, qm) — at 100 TB the query
+    side is tiny and never requires scanning the index. Output contract
+    matches ann_topk (self-matches excluded via qid != nid).
+
+    Read pruning is a SERVING-regime win: the probe union grows with
+    q * nprobe, so a large batched query set saturates every list and
+    degenerates to a full scan (use the in-situ ann_topk_ivf there —
+    it prunes compute instead). If `stats_out` is given, it is filled
+    with probed/total file counts and bytes so callers can report the
+    measured read fraction."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    ct = pqt.read_table(os.path.join(index_dir, "centroids.parquet"))
+    order = np.argsort(ct["cluster"].to_numpy(zero_copy_only=False))
+    cents = np.stack(
+        [np.asarray(c, dtype=np.float64) for c in ct["centroid"].to_pylist()]
+    )[order]
+    cn = _normalize_rows(cents)
+    qids = np.asarray(qids, dtype=np.int64)
+    qm = np.asarray(qm, dtype=np.float64)
+    qsims = _normalize_rows(qm) @ cn.T
+    npb = min(nprobe, cn.shape[0])
+    probe = np.unique(
+        np.argsort(-qsims, axis=1, kind="stable")[:, :npb].ravel()
+    )
+    probe_set = {int(c) for c in probe}
+    paths = []
+    if stats_out is not None:
+        stats_out.update(
+            {"files_probed": 0, "files_total": 0, "bytes_probed": 0, "bytes_total": 0}
+        )
+    for entry in sorted(os.listdir(index_dir)):
+        d = os.path.join(index_dir, entry)
+        if not (entry.startswith("list=") and os.path.isdir(d)):
+            continue
+        files = [
+            os.path.join(d, f)
+            for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        ]
+        probed = int(entry.split("=", 1)[1]) in probe_set
+        if probed:
+            paths.extend(files)
+        if stats_out is not None:
+            nbytes = sum(os.path.getsize(f) for f in files)
+            stats_out["files_total"] += len(files)
+            stats_out["bytes_total"] += nbytes
+            if probed:
+                stats_out["files_probed"] += len(files)
+                stats_out["bytes_probed"] += nbytes
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "qid": pa.array([], pa.int64()),
+                    "nid": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+    q_ref = ray.put((qids, qm))
+    partial = ds.map_batches(
+        _BatchTopK(q_ref, k), batch_format="pyarrow", batch_size=8192
+    )
+    return partial.groupby("qid").map_groups(
+        named(_FinalTopK(k, round_to)), batch_format="pyarrow"
+    )
+
+
 def embedding_centroids(embeddings: ray.data.Dataset, label_col: str = "label") -> ray.data.Dataset:
     """(label, centroid list<double>, n): mean embedding per label —
     per-batch partial sums, one tiny combine."""

@@ -282,6 +282,8 @@ ALGORITHMS = {
     "bellman_ford_path_lengths": _late("pipelines.shortest_paths", "bellman_ford_path_lengths"),
     "ann_topk_lsh": _late("pipelines.ann", "ann_topk_lsh"),
     "ann_topk_ivf": _late("pipelines.ann", "ann_topk_ivf"),
+    "ann_topk_ivf_indexed": _late("pipelines.ann", "ann_topk_ivf_indexed"),
+    "ivf_index_write": _late("pipelines.ann", "ivf_index_write"),
     "kmeans_fit": _late("pipelines.ann", "kmeans_fit"),
     "language_id": _late("pipelines.text", "language_id"),
     "stratified_sample": _late("pipelines.text", "stratified_sample"),

@@ -369,3 +369,40 @@ def test_batch_topk_ties_resolve_by_nid():
         ds = ray.data.from_items(rows).repartition(parts)
         out = ann_topk(ds, [0], k=2).take_all()
         assert sorted(r["nid"] for r in out) == [1, 2], (parts, out)
+
+
+def test_ivf_index_roundtrip_matches_in_situ(tmp_path):
+    # the on-disk partitioned index must return the SAME results as the
+    # in-situ ann_topk_ivf (same centroids seed → same lists → same
+    # candidate set), while reading only the probed partitions
+    import os
+
+    from graphblas_algorithms_ray.pipelines.ann import (
+        _take_queries,
+        ann_topk_ivf,
+        ann_topk_ivf_indexed,
+        ivf_index_write,
+    )
+
+    rng = np.random.RandomState(31)
+    vecs = rng.normal(size=(300, 16))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    )
+    index_dir = str(tmp_path / "ivf_idx")
+    ivf_index_write(ds, index_dir, n_clusters=8, iters=4)
+    lists = [d for d in os.listdir(index_dir) if d.startswith("list=")]
+    assert 1 < len(lists) <= 8
+    assert os.path.exists(os.path.join(index_dir, "centroids.parquet"))
+
+    qids, qm = _take_queries(ds, [2, 9])
+    got = ann_topk_ivf_indexed(index_dir, qids, qm, k=4, nprobe=3).take_all()
+    want = ann_topk_ivf(ds, [2, 9], k=4, n_clusters=8, nprobe=3, iters=4).take_all()
+    key = lambda r: (r["qid"], -r["score"], r["nid"])
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # probing every list degenerates to the exact result set
+    from graphblas_algorithms_ray.pipelines.ann import ann_topk
+
+    full = ann_topk_ivf_indexed(index_dir, qids, qm, k=4, nprobe=8).take_all()
+    exact = ann_topk(ds, [2, 9], k=4).take_all()
+    assert sorted(full, key=key) == sorted(exact, key=key)
