@@ -543,6 +543,33 @@ def q_ann_topk_ivf(sf_dir):
     return ann_topk_ivf(emb, [0, 1, 2], k=5, n_clusters=16, nprobe=4)
 
 
+def q_ann_topk_ivf_indexed(sf_dir):
+    """On-disk IVF index roundtrip: build the partitioned-by-list index
+    under /tmp, search reading only the probed partitions. Same spec
+    constants as q_ann_topk_ivf, so it shares that oracle table (the
+    roundtrip equality is additionally pinned by pytest)."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data
+
+    from .oracle_truth import write_ann_topk_ivf_expected
+    from .pipelines.ann import _take_queries, ann_topk_ivf_indexed, ivf_index_write
+
+    _oracle_side_table(
+        write_ann_topk_ivf_expected, sf_dir, [0, 1, 2], k=5, n_clusters=16, nprobe=4
+    )
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    os.makedirs("/tmp/gar", exist_ok=True)
+    index_dir = tempfile.mkdtemp(prefix="ivf_idx_", dir="/tmp/gar")
+    ivf_index_write(emb, index_dir, n_clusters=16, iters=5)
+    qids, qm = _take_queries(emb, [0, 1, 2])
+    out = ann_topk_ivf_indexed(index_dir, qids, qm, k=5, nprobe=4).to_pandas()
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return out
+
+
 def q_ngram_decontaminate(sf_dir):
     """Eval-set decontamination: training docs (doc_id % 97 != 0) flagged
     by any shared word 5-gram with the benchmark split (doc_id % 97 == 0).
@@ -780,6 +807,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "ann_topk_ivf": q_ann_topk_ivf,
     "stratified_sample": q_stratified_sample,
+    "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
 }
 
 
@@ -1362,3 +1390,4 @@ ORDER BY lang, sample_rank"""
 ORACLE_SQL["ann_topk_ivf"] = (
     f"SELECT qid, nid, score FROM read_parquet('{_EXPECTED}/ann_topk_ivf.parquet') ORDER BY qid, score DESC, nid"
 )
+ORACLE_SQL["ann_topk_ivf_indexed"] = ORACLE_SQL["ann_topk_ivf"]

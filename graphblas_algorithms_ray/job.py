@@ -38,7 +38,12 @@ import sys
 import time
 from typing import Any
 
-KERNELS = ("pagerank", "components", "label_propagation", "triangles")
+GRAPH_KERNELS = ("pagerank", "components", "label_propagation", "triangles")
+# curation = the LLM-data tier over the SAME corpus: exact dedup +
+# token/stopword quality gates + language allowlist, written as curated
+# parquet with the same _DONE resume contract. Opt-in (not in the default
+# kernel list — the north rule's default surface is the graph kernels).
+KERNELS = GRAPH_KERNELS + ("curation",)
 
 
 def _parse(argv: list[str] | None) -> argparse.Namespace:
@@ -55,8 +60,12 @@ def _parse(argv: list[str] | None) -> argparse.Namespace:
     p.add_argument("--num-parts", type=int, default=32,
                    help="fixed graph partition count (constant across "
                    "cluster sizes; vary parallelism only)")
-    p.add_argument("--kernels", default=",".join(KERNELS),
+    p.add_argument("--kernels", default=",".join(GRAPH_KERNELS),
                    help="comma list from: " + ",".join(KERNELS))
+    p.add_argument("--min-tokens", type=int, default=20,
+                   help="curation: minimum token count gate")
+    p.add_argument("--langs", default="en,de,fr",
+                   help="curation: language allowlist (comma list)")
     p.add_argument("--pagerank-iters", type=int, default=0,
                    help="fixed supersteps; 0 = converge to --tol")
     p.add_argument("--tol", type=float, default=1e-6)
@@ -73,6 +82,31 @@ def _parse(argv: list[str] | None) -> argparse.Namespace:
     p.add_argument("--no-url-join", action="store_true",
                    help="emit vertex ids instead of joining urls back")
     return p.parse_args(argv)
+
+
+def _hash_url_ids(t):
+    """(doc_id, url, text, lang): stateless 64-bit url hash as the doc id —
+    no dictionary build, no shuffle (collision odds ~(N^2)/2^65, a handful
+    at 10^10 docs, each costing one spurious dedup). Module-level so Ray
+    pickles it by reference even when this module runs as __main__."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    h = (
+        pl.from_arrow(pa.table({"k": t["url"]})["k"])
+        .hash(seed=17)
+        .to_numpy()
+        .astype(np.int64)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(h),
+            "url": t["url"],
+            "text": t["text"],
+            "lang": t["lang"],
+        }
+    )
 
 
 def _write(ds, out: str, kernel: str) -> bool:
@@ -141,12 +175,15 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     corpus_path = args.corpus or corpus_parquet(args.docs,
                                                 density=args.density)
     timings: dict[str, float] = {}
-    t0 = time.time()
-    g, dictionary = graph_from_corpus(read_corpus(corpus_path),
-                                      num_parts=args.num_parts)
-    if len(kernels) > 1:
-        g.prefetch_derived(triangles="triangles" in kernels)
-    timings["extract_and_build"] = time.time() - t0
+    graph_kernels = [k for k in kernels if k in GRAPH_KERNELS]
+    g = dictionary = None
+    if graph_kernels:
+        t0 = time.time()
+        g, dictionary = graph_from_corpus(read_corpus(corpus_path),
+                                          num_parts=args.num_parts)
+        if len(graph_kernels) > 1:
+            g.prefetch_derived(triangles="triangles" in graph_kernels)
+        timings["extract_and_build"] = time.time() - t0
 
     def _urls(ds, key: str):
         if args.no_url_join or not args.out:
@@ -156,10 +193,12 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
     ck = dict(checkpoint_dir=args.checkpoint_dir,
               checkpoint_every=args.checkpoint_every, resume=args.resume)
     metrics: dict[str, Any] = {"metric": "link_graph_job",
-                               "edges": g.m, "vertices": g.n,
                                "num_parts": args.num_parts,
                                "num_cpus": int(ray.cluster_resources().get("CPU", 0)),
                                "skipped": []}
+    if g is not None:
+        metrics["edges"] = g.m
+        metrics["vertices"] = g.n
 
     def _done(kernel: str) -> bool:
         return bool(args.out) and os.path.exists(
@@ -218,6 +257,31 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
             from .pipelines.triangles import total_triangles
 
             metrics["triangles"] = int(total_triangles(g))
+        elif kernel == "curation":
+            from .pipelines.text import curate
+
+            pages = read_corpus(
+                corpus_path, columns=["url", "text", "lang"]
+            ).map_batches(_hash_url_ids, batch_format="pyarrow")
+            curated = curate(
+                pages,
+                min_tokens=args.min_tokens,
+                langs=tuple(
+                    s.strip() for s in args.langs.split(",") if s.strip()
+                ),
+            )
+            if not args.no_url_join:
+                from .stages.hashjoin import lookup_join
+
+                dim = pages.select_columns(["doc_id", "url"])
+                curated = lookup_join(
+                    curated, "doc_id", dim, "doc_id", "url", "url"
+                )
+            if args.out:
+                if _write(curated, args.out, kernel):
+                    metrics["skipped"].append(kernel)
+            else:
+                metrics["curated_docs"] = curated.count()
         timings[kernel] = time.time() - t0
 
     metrics["queries"] = {k: round(v, 3) for k, v in timings.items()}

@@ -97,3 +97,29 @@ def test_job_resume_after_crash_never_duplicates_rows(tmp_path, capsys):
 def test_job_rejects_unknown_kernel():
     with pytest.raises(SystemExit):
         job.main(["--kernels", "nope"])
+
+
+def test_job_curation_kernel(tmp_path):
+    # the LLM-data tier over the same corpus: curated parquet with the same
+    # _DONE resume contract; no graph build happens for a curation-only job
+    out = str(tmp_path / "cur")
+    m = job.main([
+        "--docs", "300", "--kernels", "curation", "--out", out,
+    ])
+    assert "edges" not in m  # graph never built
+    assert set(m["queries"]) == {"curation"}
+    dest = os.path.join(out, "curation")
+    assert os.path.exists(os.path.join(dest, "_DONE"))
+    files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    df = pd.concat(pd.read_parquet(os.path.join(dest, f)) for f in files)
+    assert set(df.columns) == {"doc_id", "lang", "n_tokens", "url"}
+    assert 0 < len(df) <= 300
+    assert df["url"].is_unique
+    assert (df["n_tokens"] >= 20).all()
+    assert set(df["lang"]) <= {"en", "de", "fr"}
+    # re-submission skips the finished kernel before any compute
+    m2 = job.main([
+        "--docs", "300", "--kernels", "curation", "--out", out,
+    ])
+    assert m2["skipped"] == ["curation"]
+    assert m2["queries"]["curation"] == 0.0
