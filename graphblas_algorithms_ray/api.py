@@ -530,6 +530,30 @@ def q_stratified_sample(sf_dir):
     return stratified_sample(_docs(sf_dir, ["doc_id", "lang"]), n=20)
 
 
+def q_source_quota_sample(sf_dir):
+    """Per-domain quota capping (C4-style "at most n docs per domain"):
+    stratified_sample re-keyed on the source column."""
+    from .pipelines.text import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, ["doc_id", "source"]), n=10, group_col="source"
+    )
+
+
+def q_host_stats(sf_dir):
+    """Per-host aggregates over the synthetic web corpus (pages with real
+    urls) — oracled against the corpus generator's ground-truth table."""
+    import ray.data
+
+    from .pipelines.text import host_stats
+    from .sources.corpus import corpus_parquet, ground_truth_parquet
+
+    n_docs = _corpus_n_docs(sf_dir)
+    ground_truth_parquet(n_docs)  # oracle side table
+    pages = ray.data.read_parquet(corpus_parquet(n_docs), columns=["url", "text"])
+    return host_stats(pages)
+
+
 def q_ann_topk_ivf(sf_dir):
     import ray.data
 
@@ -808,6 +832,8 @@ QUERIES = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "stratified_sample": q_stratified_sample,
     "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+    "source_quota_sample": q_source_quota_sample,
+    "host_stats": q_host_stats,
 }
 
 
@@ -1358,6 +1384,9 @@ walk(v, lab) AS (
   SELECT s.b, w.lab FROM walk w JOIN csym s ON s.a = w.v WHERE w.lab < s.b
 )
 SELECT v, MIN(lab)::BIGINT AS component FROM walk GROUP BY v ORDER BY v"""
+ORACLE_SQL["host_stats"] = f"""SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+  COUNT(*)::BIGINT AS n_docs, SUM(length(text))::BIGINT AS n_chars
+FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet') GROUP BY 1 ORDER BY 1"""
 ORACLE_SQL["corpus_extract_text"] = (
     f"SELECT url, text FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet') ORDER BY url"
 )
@@ -1380,6 +1409,12 @@ ORACLE_SQL["ngram_jaccard"] = (
 ORACLE_SQL["ann_topk_lsh"] = (
     f"SELECT qid, nid, score FROM read_parquet('{_EXPECTED}/ann_topk_lsh.parquet') ORDER BY qid, score DESC, nid"
 )
+ORACLE_SQL["source_quota_sample"] = """SELECT source, doc_id, sample_rank FROM (
+  SELECT source, doc_id, row_number() OVER (
+    PARTITION BY source
+    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
+  ) AS sample_rank FROM documents) WHERE sample_rank <= 10
+ORDER BY source, sample_rank"""
 ORACLE_SQL["stratified_sample"] = """SELECT lang, doc_id, sample_rank FROM (
   SELECT lang, doc_id, row_number() OVER (
     PARTITION BY lang

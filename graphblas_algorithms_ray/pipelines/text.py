@@ -766,6 +766,41 @@ def stratified_sample(
     )
 
 
+def host_stats(pages: ray.data.Dataset) -> ray.data.Dataset:
+    """(host, n_docs, n_chars): per-domain aggregates over a web corpus —
+    the signal behind C4/RefinedWeb-style domain filtering and mixing.
+    Each batch collapses to its own per-host partial (one Arrow regex pass
+    + one in-batch group_by), so the shuffle carries O(batches * hosts)
+    rows, never O(docs)."""
+    import pyarrow.compute as pc
+
+    def _partial(t: pa.Table) -> pa.Table:
+        host = pc.extract_regex(t["url"], r"^https?://(?P<host>[^/]+)")
+        host = pc.struct_field(host, "host")
+        n_chars = pc.utf8_length(t["text"])
+        g = (
+            pa.table({"host": host, "n_chars": n_chars})
+            .group_by("host")
+            .aggregate([("n_chars", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["host", "n_chars", "n_docs"])
+
+    partial = pages.select_columns(["url", "text"]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    totals = partial.groupby("host").sum(["n_chars", "n_docs"], ignore_nulls=True)
+    return totals.map_batches(
+        lambda t: pa.table(
+            {
+                "host": t["host"],
+                "n_docs": t["sum(n_docs)"],
+                "n_chars": t["sum(n_chars)"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 _BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 

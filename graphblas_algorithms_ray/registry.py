@@ -287,4 +287,5 @@ ALGORITHMS = {
     "kmeans_fit": _late("pipelines.ann", "kmeans_fit"),
     "language_id": _late("pipelines.text", "language_id"),
     "stratified_sample": _late("pipelines.text", "stratified_sample"),
+    "host_stats": _late("pipelines.text", "host_stats"),
 }

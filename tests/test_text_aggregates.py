@@ -387,3 +387,24 @@ def test_stratified_sample_n_zero_and_empty_blocks():
     ds = ray.data.from_items(rows).repartition(8)  # some blocks empty
     out = stratified_sample(ds, n=3).take_all()
     assert len(out) == 3
+
+
+def test_host_stats_matches_bruteforce():
+    from graphblas_algorithms_ray.pipelines.text import host_stats
+
+    rows = []
+    for i in range(200):
+        host = f"h{i % 7}.example"
+        text = "x" * (10 + i % 13)
+        rows.append({"url": f"https://{host}/p/{i}", "text": text})
+    ds = ray.data.from_items(rows).repartition(9)
+    got = {
+        r["host"]: (r["n_docs"], r["n_chars"])
+        for r in host_stats(ds).take_all()
+    }
+    want = {}
+    for r in rows:
+        h = r["url"].split("//")[1].split("/")[0]
+        n, c = want.get(h, (0, 0))
+        want[h] = (n + 1, c + len(r["text"]))
+    assert got == want
