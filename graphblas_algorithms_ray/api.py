@@ -554,6 +554,14 @@ def q_host_stats(sf_dir):
     return host_stats(pages)
 
 
+def q_pack_shards(sf_dir):
+    """Deterministic training-export packing: docs in Knuth-hash order cut
+    into ~20k-char shards via a distributed exclusive prefix sum."""
+    from .pipelines.text import pack_shards
+
+    return pack_shards(_docs(sf_dir, ["doc_id", "n_chars"]), budget=20_000)
+
+
 def q_ann_topk_ivf(sf_dir):
     import ray.data
 
@@ -834,6 +842,7 @@ QUERIES = {
     "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
     "source_quota_sample": q_source_quota_sample,
     "host_stats": q_host_stats,
+    "pack_shards": q_pack_shards,
 }
 
 
@@ -1409,6 +1418,11 @@ ORACLE_SQL["ngram_jaccard"] = (
 ORACLE_SQL["ann_topk_lsh"] = (
     f"SELECT qid, nid, score FROM read_parquet('{_EXPECTED}/ann_topk_lsh.parquet') ORDER BY qid, score DESC, nid"
 )
+ORACLE_SQL["pack_shards"] = """SELECT doc_id,
+  COALESCE(SUM(n_chars) OVER (
+    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 20000 AS shard
+FROM documents ORDER BY doc_id"""
 ORACLE_SQL["source_quota_sample"] = """SELECT source, doc_id, sample_rank FROM (
   SELECT source, doc_id, row_number() OVER (
     PARTITION BY source

@@ -766,6 +766,107 @@ def stratified_sample(
     )
 
 
+class _PackBucketSum:
+    """Per-batch partial: (bucket, size sum) where bucket = the hash's high
+    bits — buckets are hash-ordered, so a driver-side exclusive scan over
+    the <=2^bits bucket sums yields each bucket's global starting offset."""
+
+    def __init__(self, size_col: str, bits: int):
+        self.size_col, self.bits = size_col, bits
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = _knuth32(ids)
+        bucket = (h >> np.uint64(32 - self.bits)).astype(np.int64)
+        size = t[self.size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ub, inv = np.unique(bucket, return_inverse=True)
+        sums = np.zeros(ub.size, dtype=np.int64)
+        np.add.at(sums, inv, size)
+        return pa.table({"bucket": pa.array(ub), "size": pa.array(sums)})
+
+
+class _PackAssign:
+    """Per-bucket finalize: sort by (hash, doc_id), exclusive cumsum + the
+    bucket's broadcast global offset, shard = offset // budget."""
+
+    def __init__(self, size_col: str, bits: int, budget: int, offsets_ref):
+        self.size_col, self.bits = size_col, bits
+        self.budget, self.offsets_ref = budget, offsets_ref
+        self._off = None
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        if self._off is None:
+            self._off = ray.get(self.offsets_ref)  # {bucket: start_offset}
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _knuth32(ids)
+        size = g[self.size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h))
+        excl = np.zeros(ids.size, dtype=np.int64)
+        np.cumsum(size[order][:-1], out=excl[1:])
+        bucket = int(h[order[0]] >> np.uint64(32 - self.bits))
+        shard = (self._off[bucket] + excl) // self.budget
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "shard": pa.array(shard),
+            }
+        )
+
+
+def pack_shards(
+    docs: ray.data.Dataset,
+    budget: int,
+    *,
+    size_col: str = "n_chars",
+    bucket_bits: int = 8,
+) -> ray.data.Dataset:
+    """(doc_id, shard): deterministic training-export packing — docs are
+    laid out in Knuth-hash order (a reproducible pseudo-random permutation,
+    so shards are unbiased samples) and cut into shards of ~``budget``
+    size units each (a doc starting before a boundary may overhang it;
+    no doc is split).
+
+    Scale shape — a distributed EXCLUSIVE PREFIX SUM without a global
+    sort: the hash's high ``bucket_bits`` define <=2^bits hash-ordered
+    coarse buckets; one streaming pass emits per-batch per-bucket size
+    sums (tiny), the driver exclusive-scans the bucket totals (<=256
+    rows), and one groupby(bucket) pass sorts each bucket locally and
+    adds its broadcast global offset. Integer arithmetic throughout, so
+    the assignment is exactly reproducible under any partitioning and
+    matches the SQL window-cumsum oracle bit for bit."""
+    import ray
+
+    bits = bucket_bits
+    partial = docs.select_columns(["doc_id", size_col]).map_batches(
+        _PackBucketSum(size_col, bits), batch_format="pyarrow"
+    )
+    totals = partial.groupby("bucket").sum("size", ignore_nulls=True).take_all()
+    by_bucket = {int(r["bucket"]): int(r["sum(size)"]) for r in totals}
+    offsets = {}
+    run = 0
+    for b in sorted(by_bucket):
+        offsets[b] = run
+        run += by_bucket[b]
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = (_knuth32(ids) >> np.uint64(32 - bits)).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket))
+
+    offsets_ref = ray.put(offsets)
+    from .._util import named
+
+    return (
+        docs.select_columns(["doc_id", size_col])
+        .map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            named(_PackAssign(size_col, bits, budget, offsets_ref)),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def host_stats(pages: ray.data.Dataset) -> ray.data.Dataset:
     """(host, n_docs, n_chars): per-domain aggregates over a web corpus —
     the signal behind C4/RefinedWeb-style domain filtering and mixing.

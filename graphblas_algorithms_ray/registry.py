@@ -288,4 +288,5 @@ ALGORITHMS = {
     "language_id": _late("pipelines.text", "language_id"),
     "stratified_sample": _late("pipelines.text", "stratified_sample"),
     "host_stats": _late("pipelines.text", "host_stats"),
+    "pack_shards": _late("pipelines.text", "pack_shards"),
 }

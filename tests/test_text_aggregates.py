@@ -408,3 +408,31 @@ def test_host_stats_matches_bruteforce():
         n, c = want.get(h, (0, 0))
         want[h] = (n + 1, c + len(r["text"]))
     assert got == want
+
+
+def test_pack_shards_matches_bruteforce_and_partition_invariant():
+    from graphblas_algorithms_ray.pipelines.text import _knuth32, pack_shards
+
+    rng = np.random.default_rng(13)
+    ids = rng.choice(10**7, size=400, replace=False).astype(np.int64)
+    sizes = rng.integers(50, 900, size=400).astype(np.int64)
+    rows = [
+        {"doc_id": int(i), "n_chars": int(s)} for i, s in zip(ids, sizes)
+    ]
+    # brute force: exclusive cumsum in (hash, id) order
+    h = _knuth32(ids)
+    order = np.lexsort((ids, h))
+    excl = np.zeros(400, dtype=np.int64)
+    np.cumsum(sizes[order][:-1], out=excl[1:])
+    budget = 5000
+    want = dict(zip(ids[order].tolist(), (excl // budget).tolist()))
+    for parts in (3, 17):
+        ds = ray.data.from_items(rows).repartition(parts)
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in pack_shards(ds, budget).take_all()
+        }
+        assert got == want, parts
+    # shards are contiguous 0..max and every one is non-empty
+    shards = sorted(set(want.values()))
+    assert shards == list(range(len(shards)))
