@@ -554,6 +554,18 @@ def q_host_stats(sf_dir):
     return host_stats(pages)
 
 
+def q_mix_sample(sf_dir):
+    """Mixture resampling toward target weights en=.4 de=.3 fr=.3 at half
+    the corpus size — deterministic per-group hash subsample, no shuffle."""
+    from .pipelines.text import mix_sample
+
+    return mix_sample(
+        _docs(sf_dir, ["doc_id", "lang"]),
+        {"en": 0.4, "de": 0.3, "fr": 0.3},
+        frac=0.5,
+    )
+
+
 def q_pack_shards(sf_dir):
     """Deterministic training-export packing: docs in Knuth-hash order cut
     into ~20k-char shards via a distributed exclusive prefix sum."""
@@ -843,6 +855,7 @@ QUERIES = {
     "source_quota_sample": q_source_quota_sample,
     "host_stats": q_host_stats,
     "pack_shards": q_pack_shards,
+    "mix_sample": q_mix_sample,
 }
 
 
@@ -1418,6 +1431,15 @@ ORACLE_SQL["ngram_jaccard"] = (
 ORACLE_SQL["ann_topk_lsh"] = (
     f"SELECT qid, nid, score FROM read_parquet('{_EXPECTED}/ann_topk_lsh.parquet') ORDER BY qid, score DESC, nid"
 )
+ORACLE_SQL["mix_sample"] = """WITH cnt AS (
+  SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n) AS total_n FROM cnt),
+w(lang, w) AS (VALUES ('en', 0.4), ('de', 0.3), ('fr', 0.3)),
+cut AS (SELECT cnt.lang, FLOOR(4294967296 * LEAST(1.0, 0.5 * total_n * w / n)) AS cut
+        FROM cnt CROSS JOIN tot JOIN w ON w.lang = cnt.lang)
+SELECT d.doc_id, d.lang FROM documents d JOIN cut ON cut.lang = d.lang
+WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296 < cut
+ORDER BY d.doc_id"""
 ORACLE_SQL["pack_shards"] = """SELECT doc_id,
   COALESCE(SUM(n_chars) OVER (
     ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id

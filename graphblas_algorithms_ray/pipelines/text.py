@@ -766,6 +766,56 @@ def stratified_sample(
     )
 
 
+def mix_sample(
+    docs: ray.data.Dataset,
+    weights: dict,
+    frac: float = 0.5,
+    *,
+    group_col: str = "lang",
+) -> ray.data.Dataset:
+    """(doc_id, group): deterministic mixture resampling — the dataset-mix
+    step of an LLM data pipeline. Target count per group g is
+    ``frac * N * weights[g]``; each group keeps the docs whose Knuth hash
+    falls below ``min(1, target/n_g)`` of the hash range (an unbiased,
+    reproducible subsample; groups needing MORE than they have keep
+    everything — no upsampling). Groups absent from ``weights`` drop.
+
+    One tiny groupby for the per-group counts, then a stateless streaming
+    filter — no shuffle of the data itself."""
+    import ray
+
+    counts = (
+        docs.select_columns([group_col]).groupby(group_col).count().take_all()
+    )
+    total = float(sum(r["count()"] for r in counts))
+    cuts = {}
+    for r in counts:
+        g = r[group_col]
+        if g in weights:
+            p = min(1.0, frac * total * float(weights[g]) / float(r["count()"]))
+            cuts[g] = np.uint64(np.floor(4294967296.0 * p))
+    cuts_ref = ray.put(cuts)
+
+    class _Keep:
+        def __init__(self):
+            self._c = None
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if self._c is None:
+                self._c = ray.get(cuts_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            h = _knuth32(ids)
+            groups = t[group_col].to_pylist()
+            cut = np.array(
+                [self._c.get(g, np.uint64(0)) for g in groups], dtype=np.uint64
+            )
+            return t.filter(pa.array(h < cut))
+
+    return docs.select_columns(["doc_id", group_col]).map_batches(
+        _Keep(), batch_format="pyarrow"
+    )
+
+
 class _PackBucketSum:
     """Per-batch partial: (bucket, size sum) where bucket = the hash's high
     bits — buckets are hash-ordered, so a driver-side exclusive scan over

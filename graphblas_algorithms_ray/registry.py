@@ -289,4 +289,5 @@ ALGORITHMS = {
     "stratified_sample": _late("pipelines.text", "stratified_sample"),
     "host_stats": _late("pipelines.text", "host_stats"),
     "pack_shards": _late("pipelines.text", "pack_shards"),
+    "mix_sample": _late("pipelines.text", "mix_sample"),
 }

@@ -436,3 +436,30 @@ def test_pack_shards_matches_bruteforce_and_partition_invariant():
     # shards are contiguous 0..max and every one is non-empty
     shards = sorted(set(want.values()))
     assert shards == list(range(len(shards)))
+
+
+def test_mix_sample_targets_and_determinism():
+    from graphblas_algorithms_ray.pipelines.text import mix_sample
+
+    rng = np.random.default_rng(3)
+    rows = []
+    i = 0
+    for lang, n in (("en", 600), ("de", 200), ("fr", 100), ("zz", 50)):
+        for _ in range(n):
+            rows.append({"doc_id": i, "lang": lang})
+            i += 1
+    weights = {"en": 0.25, "de": 0.25, "fr": 0.5}
+    for parts in (2, 11):
+        ds = ray.data.from_items(rows).repartition(parts)
+        out = mix_sample(ds, weights, frac=0.4).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert "zz" not in got  # unweighted group drops
+        # targets: 0.4 * 950 * w -> en 95, de 95, fr 190 (capped at 100)
+        assert abs(len(got["en"]) - 95) <= 25  # hash binomial noise
+        assert abs(len(got["de"]) - 95) <= 20
+        assert len(got["fr"]) == 100  # needs more than exists: keep all
+        if parts == 2:
+            first = got
+    assert got == first  # partition-invariant, identical doc sets
