@@ -554,6 +554,12 @@ def q_host_stats(sf_dir):
     return host_stats(pages)
 
 
+def q_truncate_tokens(sf_dir):
+    from .pipelines.text import truncate_tokens
+
+    return truncate_tokens(_docs(sf_dir, ["doc_id", "text"]), max_tokens=24)
+
+
 def q_mix_sample(sf_dir):
     """Mixture resampling toward target weights en=.4 de=.3 fr=.3 at half
     the corpus size — deterministic per-group hash subsample, no shuffle."""
@@ -856,6 +862,7 @@ QUERIES = {
     "host_stats": q_host_stats,
     "pack_shards": q_pack_shards,
     "mix_sample": q_mix_sample,
+    "truncate_tokens": q_truncate_tokens,
 }
 
 
@@ -1431,6 +1438,10 @@ ORACLE_SQL["ngram_jaccard"] = (
 ORACLE_SQL["ann_topk_lsh"] = (
     f"SELECT qid, nid, score FROM read_parquet('{_EXPECTED}/ann_topk_lsh.parquet') ORDER BY qid, score DESC, nid"
 )
+ORACLE_SQL["truncate_tokens"] = """SELECT doc_id,
+  COALESCE(array_to_string(list_slice(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), 1, 24), ' '), '') AS text,
+  LEAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 24)::BIGINT AS n_tokens
+FROM documents ORDER BY doc_id"""
 ORACLE_SQL["mix_sample"] = """WITH cnt AS (
   SELECT lang, COUNT(*)::DOUBLE AS n FROM documents GROUP BY lang),
 tot AS (SELECT SUM(n) AS total_n FROM cnt),

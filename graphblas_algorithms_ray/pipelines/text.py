@@ -766,6 +766,45 @@ def stratified_sample(
     )
 
 
+def truncate_tokens(
+    docs: ray.data.Dataset, max_tokens: int = 64
+) -> ray.data.Dataset:
+    """(doc_id, text, n_tokens): each document cut to its first
+    ``max_tokens`` whitespace tokens (single-space re-joined) — the
+    pre-tokenization budget cap of an LLM pipeline. Stateless Arrow
+    kernels per batch (trim → regex split → list_slice → join), no
+    shuffle; whitespace-edge semantics verified token-for-token against
+    the DuckDB formulation (both are RE2 `\\s+` splits)."""
+    import pyarrow.compute as pc
+
+    def _cut(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        toks = pc.split_pattern_regex(trimmed, r"\s+")
+        joined = pc.binary_join(pc.list_slice(toks, 0, max_tokens), " ")
+        nt = np.minimum(
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+            max_tokens,
+        ).astype(np.int64)
+        empty = np.array(
+            [x == "" for x in trimmed.to_pylist()], dtype=bool
+        )
+        out_text = pa.array(
+            ["" if e else j for e, j in zip(empty, joined.to_pylist())],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": out_text,
+                "n_tokens": pa.array(np.where(empty, 0, nt)),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _cut, batch_format="pyarrow"
+    )
+
+
 def mix_sample(
     docs: ray.data.Dataset,
     weights: dict,

@@ -290,4 +290,5 @@ ALGORITHMS = {
     "host_stats": _late("pipelines.text", "host_stats"),
     "pack_shards": _late("pipelines.text", "pack_shards"),
     "mix_sample": _late("pipelines.text", "mix_sample"),
+    "truncate_tokens": _late("pipelines.text", "truncate_tokens"),
 }

@@ -463,3 +463,26 @@ def test_mix_sample_targets_and_determinism():
         if parts == 2:
             first = got
     assert got == first  # partition-invariant, identical doc sets
+
+
+def test_truncate_tokens_edge_cases():
+    from graphblas_algorithms_ray.pipelines.text import truncate_tokens
+
+    rows = [
+        {"doc_id": 0, "text": "a b  c d e"},
+        {"doc_id": 1, "text": " x y "},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "  "},
+        {"doc_id": 4, "text": "\tz\nw q r s"},
+    ]
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens"])
+        for r in truncate_tokens(ray.data.from_items(rows), max_tokens=3).take_all()
+    }
+    assert out == {
+        0: ("a b c", 3),
+        1: ("x y", 2),
+        2: ("", 0),
+        3: ("", 0),
+        4: ("z w q", 3),
+    }
