@@ -387,7 +387,77 @@ def run_ann() -> dict:
     }
 
 
+def run_text() -> dict:
+    """LLM-data-tier throughput over the sf documents table: the curation
+    composite (exact dedup + quality gates + language allowlist), MinHash
+    near-dup grouping, vectorized token stats, and BPE-ish token counting
+    — docs/sec each, one JSON line."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+        )
+    import ray.data
+
+    from graphblas_algorithms_ray.pipelines.dedup import minhash_near_duplicates
+    from graphblas_algorithms_ray.pipelines.text import (
+        bpe_token_counts,
+        curate,
+        token_stats,
+    )
+
+    # the sf documents tables are tiny (5k docs at sf0.1) and fixed
+    # overheads dominate there; measure over the deterministic synthetic
+    # page corpus instead (same generator as the scaling gate), with
+    # url-hash doc ids exactly like the job entrypoint's curation kernel
+    n_docs = int(os.environ.get("GRAFT_TEXT_DOCS", "200000"))
+    from graphblas_algorithms_ray.job import _hash_url_ids
+    from graphblas_algorithms_ray.sources.corpus import corpus_parquet, read_corpus
+
+    docs = (
+        read_corpus(corpus_parquet(n_docs), columns=["url", "text", "lang"])
+        .map_batches(_hash_url_ids, batch_format="pyarrow")
+        .materialize()
+    )
+    n = docs.count()
+    out: dict = {"metric": "text_tier_bench", "corpus_docs": n_docs, "n_docs": n,
+                 "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 "queries": {}, "docs_per_sec": {}}
+    stages = {
+        "curate": lambda: curate(docs).count(),
+        "minhash_groups": lambda: minhash_near_duplicates(
+            docs.select_columns(["doc_id", "text"])
+        )[1].count(),
+        "token_stats": lambda: token_stats(
+            docs.select_columns(["doc_id", "text"])
+        ).count(),
+        "bpe_token_counts": lambda: bpe_token_counts(
+            docs.select_columns(["doc_id", "text"])
+        ).count(),
+    }
+    total = 0.0
+    for name, fn in stages.items():
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        out["queries"][name] = round(dt, 3)
+        out["docs_per_sec"][name] = round(n / dt, 1)
+        total += dt
+    out["value"] = round(total, 3)
+    out["unit"] = "sec"
+    return out
+
+
 def main():
+    if "--text" in sys.argv:
+        print(json.dumps(run_text()))
+        import ray
+
+        ray.shutdown()
+        return
     if "--ann" in sys.argv:
         print(json.dumps(run_ann()))
         import ray

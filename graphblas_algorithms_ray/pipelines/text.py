@@ -42,14 +42,64 @@ def doc_fingerprint(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 class _DedupPartial:
-    """Per-batch combiner: (hash → min doc_id, count)."""
+    """Per-batch combiner: (hash → min doc_id, count). The 128-bit md5 is
+    carried as TWO int64 columns (big-endian halves), not the hex string:
+    Ray's sort-based aggregate partitions string keys ~100× slower than
+    int64 keys (measured 1.75 s per 1.5k-row block at 200k docs), and the
+    int pair also halves the shuffle payload."""
 
-    def __call__(self, t: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame(
-            {"h": _md5s(t["text"].to_pylist()), "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)}
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        buf = b"".join(
+            hashlib.md5(x.encode("utf-8")).digest() for x in texts
         )
-        g = df.groupby("h", sort=False).agg(keeper=("doc_id", "min"), n=("doc_id", "size"))
-        return g.reset_index()
+        h = np.frombuffer(buf, dtype=">i8").astype(np.int64).reshape(-1, 2)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "h1": pa.array([], pa.int64()),
+                    "h2": pa.array([], pa.int64()),
+                    "keeper": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((ids, h[:, 1], h[:, 0]))
+        h1, h2, sid = h[order, 0], h[order, 1], ids[order]
+        new = np.empty(h1.size, dtype=bool)
+        new[0] = True
+        new[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, h1.size))
+        return pa.table(
+            {
+                "h1": pa.array(h1[starts]),
+                "h2": pa.array(h2[starts]),
+                "keeper": pa.array(sid[starts]),  # min doc_id: ids sorted
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+
+class _DedupHex:
+    """Reassemble the md5 hex string from the int64 halves (output side
+    only — the shuffle never carries the string)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        h = np.empty((t.num_rows, 2), dtype=">i8")
+        h[:, 0] = t["h1"].to_numpy(zero_copy_only=False)
+        h[:, 1] = t["h2"].to_numpy(zero_copy_only=False)
+        buf = h.tobytes().hex()
+        return pa.table(
+            {
+                "h": pa.array(
+                    [buf[i * 32 : (i + 1) * 32] for i in range(t.num_rows)],
+                    pa.string(),
+                ),
+                "keeper": t["keeper"],
+                "n": t["n"],
+            }
+        )
 
 
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -58,10 +108,11 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     partial = docs.select_columns(["doc_id", "text"]).map_batches(
         _DedupPartial(), batch_format="pyarrow"
     )
-    return partial.groupby("h").aggregate(
+    agg = partial.groupby(["h1", "h2"]).aggregate(
         ray.data.aggregate.Min("keeper", alias_name="keeper"),
         ray.data.aggregate.Sum("n", alias_name="n"),
     )
+    return agg.map_batches(_DedupHex(), batch_format="pyarrow")
 
 
 def dedup_keep_first(docs: ray.data.Dataset) -> ray.data.Dataset:
