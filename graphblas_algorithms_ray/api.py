@@ -1178,9 +1178,11 @@ LEFT JOIN tok_stats USING (doc_id) LEFT JOIN bg_stats USING (doc_id)
 ORDER BY doc_id""",
     "train_val_split": """SELECT doc_id,
   -- HUGEINT arithmetic: signed BIGINT would overflow for doc_id >= 2^32
-  -- and silently diverge from the engine's uint64 wraparound (ADVICE r3)
-  CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT) THEN 'val'
-       WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < CAST(0.2 * 4294967296 AS BIGINT) THEN 'test'
+  -- and silently diverge from the engine's uint64 wraparound (ADVICE r3).
+  -- The double-% makes the modulo POSITIVE (DuckDB % keeps the dividend's
+  -- sign), matching the engine's uint64 math for negative ids (review r5)
+  CASE WHEN ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 < CAST(0.1 * 4294967296 AS BIGINT) THEN 'val'
+       WHEN ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 < CAST(0.2 * 4294967296 AS BIGINT) THEN 'test'
        ELSE 'train' END AS split
 FROM documents ORDER BY doc_id""",
     "top_docs_per_lang": """SELECT lang, doc_id, n_chars FROM (
@@ -1449,24 +1451,24 @@ w(lang, w) AS (VALUES ('en', 0.4), ('de', 0.3), ('fr', 0.3)),
 cut AS (SELECT cnt.lang, FLOOR(4294967296 * LEAST(1.0, 0.5 * total_n * w / n)) AS cut
         FROM cnt CROSS JOIN tot JOIN w ON w.lang = cnt.lang)
 SELECT d.doc_id, d.lang FROM documents d JOIN cut ON cut.lang = d.lang
-WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296 < cut
+WHERE ((CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 < cut
 ORDER BY d.doc_id"""
 ORACLE_SQL["pack_shards"] = """SELECT doc_id,
   COALESCE(SUM(n_chars) OVER (
-    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
+    ORDER BY ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, doc_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 20000 AS shard
 FROM documents ORDER BY doc_id"""
 ORACLE_SQL["source_quota_sample"] = """SELECT source, doc_id, sample_rank FROM (
   SELECT source, doc_id, row_number() OVER (
     PARTITION BY source
-    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
+    ORDER BY ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, doc_id
   ) AS sample_rank FROM documents) WHERE sample_rank <= 10
 ORDER BY source, sample_rank"""
 ORACLE_SQL["stratified_sample"] = """SELECT lang, doc_id, sample_rank FROM (
   SELECT lang, doc_id, row_number() OVER (
     PARTITION BY lang
     -- HUGEINT: same uint64-wraparound-safe hash as train_val_split
-    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296, doc_id
+    ORDER BY ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296, doc_id
   ) AS sample_rank FROM documents) WHERE sample_rank <= 20
 ORDER BY lang, sample_rank"""
 ORACLE_SQL["ann_topk_ivf"] = (

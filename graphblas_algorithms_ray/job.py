@@ -87,17 +87,24 @@ def _parse(argv: list[str] | None) -> argparse.Namespace:
 def _hash_url_ids(t):
     """(doc_id, url, text, lang): stateless 64-bit url hash as the doc id —
     no dictionary build, no shuffle (collision odds ~(N^2)/2^65, a handful
-    at 10^10 docs, each costing one spurious dedup). Module-level so Ray
-    pickles it by reference even when this module runs as __main__."""
+    at 10^10 docs, each costing one spurious dedup). The hash is the first
+    8 bytes of md5 — a stdlib function stable across library versions, so
+    persisted doc_ids keep matching after environment upgrades (review r5:
+    polars' xxhash carries no cross-version stability guarantee, which is
+    fine for in-run grouping but not for ids written to output parquet).
+    Module-level so Ray pickles it by reference even when this module runs
+    as __main__."""
+    import hashlib
+
     import numpy as np
-    import polars as pl
     import pyarrow as pa
 
+    urls = t["url"].to_pylist()
+    buf = b"".join(hashlib.md5(u.encode("utf-8")).digest()[:8] for u in urls)
     h = (
-        pl.from_arrow(pa.table({"k": t["url"]})["k"])
-        .hash(seed=17)
-        .to_numpy()
-        .astype(np.int64)
+        np.frombuffer(buf, dtype=">i8").astype(np.int64)
+        if urls
+        else np.empty(0, np.int64)
     )
     return pa.table(
         {
@@ -270,7 +277,9 @@ def main(argv: list[str] | None = None) -> dict[str, Any]:
                     s.strip() for s in args.langs.split(",") if s.strip()
                 ),
             )
-            if not args.no_url_join:
+            # mirror the graph kernels' _urls guard: the count-only path
+            # (no --out) must not pay a full join + second corpus pass
+            if args.out and not args.no_url_join:
                 from .stages.hashjoin import lookup_join
 
                 dim = pages.select_columns(["doc_id", "url"])

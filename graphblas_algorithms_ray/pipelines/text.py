@@ -825,24 +825,24 @@ def truncate_tokens(
     pre-tokenization budget cap of an LLM pipeline. Stateless Arrow
     kernels per batch (trim → regex split → list_slice → join), no
     shuffle; whitespace-edge semantics verified token-for-token against
-    the DuckDB formulation (both are RE2 `\\s+` splits)."""
+    the DuckDB formulation (both are RE2 `\\s+` splits). The trim uses
+    the exact RE2 \\s character set ([\\t\\n\\f\\r ]) — NOT Unicode
+    whitespace — so non-ASCII spaces (NBSP, U+2028, …) stay inside
+    tokens on both sides (review r5: utf8_trim_whitespace silently
+    deleted them while the oracle kept them)."""
     import pyarrow.compute as pc
 
     def _cut(t: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(t["text"])
+        trimmed = pc.utf8_trim(t["text"], " \t\n\f\r")
         toks = pc.split_pattern_regex(trimmed, r"\s+")
         joined = pc.binary_join(pc.list_slice(toks, 0, max_tokens), " ")
         nt = np.minimum(
             pc.list_value_length(toks).to_numpy(zero_copy_only=False),
             max_tokens,
         ).astype(np.int64)
-        empty = np.array(
-            [x == "" for x in trimmed.to_pylist()], dtype=bool
-        )
-        out_text = pa.array(
-            ["" if e else j for e, j in zip(empty, joined.to_pylist())],
-            pa.string(),
-        )
+        empty_arr = pc.equal(trimmed, "")
+        out_text = pc.if_else(empty_arr, "", joined)
+        empty = empty_arr.to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -888,17 +888,27 @@ def mix_sample(
 
     class _Keep:
         def __init__(self):
-            self._c = None
+            self._keys = None
+            self._cuts = None
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            if self._c is None:
-                self._c = ray.get(cuts_ref)
+            import pyarrow.compute as pc
+
+            if self._keys is None:
+                c = ray.get(cuts_ref)
+                ks = sorted(c)
+                self._keys = pa.array(ks)
+                self._cuts = np.array([c[k] for k in ks], dtype=np.uint64)
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
             h = _knuth32(ids)
-            groups = t[group_col].to_pylist()
-            cut = np.array(
-                [self._c.get(g, np.uint64(0)) for g in groups], dtype=np.uint64
+            # vectorized group → cut lookup (review r5: no per-row Python)
+            idx = (
+                pc.index_in(t[group_col], value_set=self._keys)
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
+            cut = np.where(idx >= 0, self._cuts[np.maximum(idx, 0)], np.uint64(0))
             return t.filter(pa.array(h < cut))
 
     return docs.select_columns(["doc_id", group_col]).map_batches(

@@ -131,17 +131,26 @@ def test_repetition_stats_matches_python(seed):
 
 
 @settings(max_examples=10, deadline=None)
-@given(ids=st.lists(st.integers(0, 2**63 - 1), min_size=1, max_size=50, unique=True))
+@given(
+    ids=st.lists(
+        st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=50, unique=True
+    )
+)
 def test_knuth32_matches_duckdb_hugeint(ids):
     # the engine's split/sample hash must equal the HUGEINT SQL the oracles
     # use, including uint64 wraparound above 2^32 (ADVICE r3 class of bug)
+    # and NEGATIVE ids (review r5: url-hash doc ids are negative half the
+    # time; DuckDB % keeps sign, hence the double-% positive modulo)
     import duckdb
 
     from graphblas_algorithms_ray.pipelines.text import _knuth32
 
-    got = _knuth32(np.array(ids, dtype=np.uint64)).astype(np.int64)
+    got = _knuth32(np.array(ids, dtype=np.int64).view(np.uint64)).astype(
+        np.int64
+    )
     want = duckdb.sql(
-        "SELECT (CAST(i AS HUGEINT) * 2654435761) % 4294967296 AS h "
+        "SELECT ((CAST(i AS HUGEINT) * 2654435761) % 4294967296"
+        " + 4294967296) % 4294967296 AS h "
         "FROM (SELECT unnest(?::BIGINT[]) AS i)",
         params=[ids],
     ).fetchnumpy()["h"]

@@ -486,3 +486,24 @@ def test_truncate_tokens_edge_cases():
         3: ("", 0),
         4: ("z w q", 3),
     }
+
+
+def test_truncate_tokens_nonascii_whitespace_kept():
+    # review r5: RE2 \s is ASCII-only — NBSP/U+2028 must stay INSIDE
+    # tokens (and in the leading position), matching the DuckDB oracle
+    from graphblas_algorithms_ray.pipelines.text import truncate_tokens
+
+    rows = [
+        {"doc_id": 0, "text": " abc def"},
+        {"doc_id": 1, "text": " "},
+        {"doc_id": 2, "text": "a b c"},
+    ]
+    out = {
+        r["doc_id"]: (r["text"], r["n_tokens"])
+        for r in truncate_tokens(ray.data.from_items(rows), max_tokens=2).take_all()
+    }
+    assert out == {
+        0: (" abc def", 2),
+        1: (" ", 1),
+        2: ("a b c", 2),
+    }
