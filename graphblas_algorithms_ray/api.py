@@ -803,6 +803,19 @@ QUERIES = {
     "corpus_pagerank": q_corpus_pagerank,
     "corpus_components": q_corpus_components,
     "corpus_extract_text": q_corpus_extract_text,
+    # ... as do the round-5 late additions (positions 11-20), which also
+    # have no driver row yet — all 20 never-recorded queries fit inside
+    # the 50-row window together with 30 of the long-recorded suite
+    "ngram_decontaminate": q_ngram_decontaminate,
+    "repetition_stats": q_repetition_stats,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+    "stratified_sample": q_stratified_sample,
+    "source_quota_sample": q_source_quota_sample,
+    "mix_sample": q_mix_sample,
+    "pack_shards": q_pack_shards,
+    "truncate_tokens": q_truncate_tokens,
+    "host_stats": q_host_stats,
     "edges": q_edges,
     "out_degree": q_out_degree,
     "in_degree": q_in_degree,
@@ -853,16 +866,6 @@ QUERIES = {
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "bpe_token_counts": q_bpe_token_counts,
-    "ngram_decontaminate": q_ngram_decontaminate,
-    "repetition_stats": q_repetition_stats,
-    "ann_topk_ivf": q_ann_topk_ivf,
-    "stratified_sample": q_stratified_sample,
-    "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
-    "source_quota_sample": q_source_quota_sample,
-    "host_stats": q_host_stats,
-    "pack_shards": q_pack_shards,
-    "mix_sample": q_mix_sample,
-    "truncate_tokens": q_truncate_tokens,
 }
 
 

@@ -120,8 +120,8 @@ def test_queries_order_never_driver_verified_first():
     # future reordering doesn't silently undo the rotation.
     from graphblas_algorithms_ray.api import QUERIES
 
-    first10 = list(QUERIES)[:10]
-    assert first10 == [
+    first20 = list(QUERIES)[:20]
+    assert first20 == [
         "language_id",
         "laplacian",
         "bethe_hessian",
@@ -132,7 +132,18 @@ def test_queries_order_never_driver_verified_first():
         "corpus_pagerank",
         "corpus_components",
         "corpus_extract_text",
+        # round-5 late additions — also no driver row yet
+        "ngram_decontaminate",
+        "repetition_stats",
+        "ann_topk_ivf",
+        "ann_topk_ivf_indexed",
+        "stratified_sample",
+        "source_quota_sample",
+        "mix_sample",
+        "pack_shards",
+        "truncate_tokens",
+        "host_stats",
     ]
     # and the long-recorded core suite still follows inside the window
-    assert list(QUERIES)[10:14] == ["edges", "out_degree", "in_degree",
+    assert list(QUERIES)[20:24] == ["edges", "out_degree", "in_degree",
                                     "degree_centrality"]
