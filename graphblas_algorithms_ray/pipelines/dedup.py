@@ -215,7 +215,14 @@ class _CoarseKey:
     mostly-singleton LSH buckets) makes Ray Data call the group function
     once per bucket: Python-per-group is the whole cost. The coarse key
     keeps the shuffle but lets one vectorized call process thousands of
-    buckets (segments of a lexsort)."""
+    buckets (segments of a lexsort).
+
+    CONTRACT: the content hash must be computed identically on every
+    worker WITHIN one run — the standard Ray deployment (one runtime
+    environment cluster-wide) guarantees this; a cluster mixing polars
+    versions across nodes would route the same key to different coarse
+    groups and silently split its bucket. Cross-RUN stability is NOT
+    required (nothing derived from __g is persisted)."""
 
     def __init__(self, cols, nb: int = _COARSE_GROUPS):
         self.cols, self.nb = cols, nb

@@ -324,71 +324,57 @@ class _WordCountPartial:
         return pa.table({"word": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())})
 
 
-class _VocabBucketTag:
-    """Append an int64 bucket = the high bits of a content hash of the
-    term column. All rows of one term share a bucket, so per-bucket
-    grouping is EXACT (no collision handling needed — the bucket only
-    co-locates, the string itself is still the group key inside). The
-    hash is in-run-only routing, so cross-version stability is not
-    required here (unlike persisted ids)."""
-
-    def __init__(self, col: str, bits: int = 10):
-        self.col, self.bits = col, bits
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        h = (
-            pl.from_arrow(pa.table({"k": t[self.col]})["k"])
-            .hash(seed=23)
-            .to_numpy()
-            .astype(np.uint64)
-        )
-        b = (h >> np.uint64(64 - self.bits)).astype(np.int64)
-        return t.append_column("__b", pa.array(b))
-
-
 class _VocabBucketTopK:
-    """One call per bucket: exact Arrow group_by sum over the term
-    strings, then the bucket's local top-k by (n desc, term asc). The
-    global top-k is a subset of the union of bucket top-ks, so the final
-    tiny sort over buckets*k rows is exact."""
+    """One call per coarse bucket (terms co-located by _CoarseKey, so
+    per-bucket grouping is EXACT — the bucket only routes, the string
+    itself is still the group key inside): Arrow group_by sum over the
+    term strings, then the bucket's local top-k by (n desc, term asc),
+    all in C++ kernels (sort_indices + take — no Python-object
+    materialization of the vocab). The global top-k is a subset of the
+    union of bucket top-ks, so the final tiny sort is exact."""
 
     def __init__(self, col: str, k: int):
         self.col, self.k = col, k
 
     def __call__(self, g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         agg = (
             g.select([self.col, "n"])
             .group_by(self.col)
             .aggregate([("n", "sum")])
         )
-        term = agg[self.col].to_numpy(zero_copy_only=False)
-        n = agg["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((term, -n))[: self.k]
+        order = pc.sort_indices(
+            agg,
+            sort_keys=[("n_sum", "descending"), (self.col, "ascending")],
+        )
+        top = agg.take(order.slice(0, self.k))
         return pa.table(
             {
-                self.col: pa.array(term[order], pa.string()),
-                "n": pa.array(n[order]),
+                self.col: top[self.col],
+                "n": pc.cast(top["n_sum"], pa.int64()),
             }
         )
 
 
 def _vocab_topk(
-    partial: ray.data.Dataset, col: str, k: int, bits: int = 10
+    partial: ray.data.Dataset, col: str, k: int, buckets: int = 1024
 ) -> ray.data.Dataset:
     """Heavy-hitter finalize shared by word_topk/bigram_topk: the shuffle
     key is a small int bucket (NOT the term string — Ray's sort-based
     aggregate partitions string keys ~10-50x slower than ints, measured
     27 s over 7M bigram rows), each bucket resolves its terms exactly and
     pre-prunes to its local top-k, and the global sort touches only
-    2^bits * k rows."""
+    buckets * k rows. Routing reuses dedup._CoarseKey (one home for the
+    content-hash bucketing policy and its same-version-across-workers
+    contract)."""
     from .._util import named
+    from .dedup import _CoarseKey
 
     tagged = partial.map_batches(
-        _VocabBucketTag(col, bits), batch_format="pyarrow"
+        _CoarseKey([col], nb=buckets), batch_format="pyarrow"
     )
-    cand = tagged.groupby("__b").map_groups(
+    cand = tagged.groupby("__g").map_groups(
         named(_VocabBucketTopK(col, k)), batch_format="pyarrow"
     )
     return cand.sort(["n", col], descending=[True, False]).limit(k)
