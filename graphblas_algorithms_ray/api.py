@@ -580,6 +580,40 @@ def q_pack_shards(sf_dir):
     return pack_shards(_docs(sf_dir, ["doc_id", "n_chars"]), budget=20_000)
 
 
+def q_url_normalize(sf_dir):
+    """URL canonicalization over the corpus urls, made non-degenerate by a
+    deterministic 'mess' pass (fragment / case / trailing-slash variants
+    keyed on length(url)) that the SQL oracle replicates before both sides
+    normalize."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .pipelines.text import normalize_urls
+    from .sources.corpus import corpus_parquet, ground_truth_parquet
+
+    n_docs = _corpus_n_docs(sf_dir)
+    ground_truth_parquet(n_docs)  # oracle side table
+    pages = ray.data.read_parquet(corpus_parquet(n_docs), columns=["url"])
+
+    def _mess(t: pa.Table) -> pa.Table:
+        u = t["url"]
+        L = pc.utf8_length(u).to_numpy(zero_copy_only=False).astype(np.int64)
+        m1 = pc.binary_join_element_wise(
+            u, pa.array(np.where(L % 3 == 0, "#ref", "").tolist()), ""
+        )
+        m2 = pc.if_else(pa.array(L % 2 == 1), pc.utf8_upper(m1), m1)
+        m3 = pc.binary_join_element_wise(
+            m2, pa.array(np.where(L % 5 == 0, "/", "").tolist()), ""
+        )
+        return pa.table({"url": u, "messy": m3})
+
+    messy = pages.map_batches(_mess, batch_format="pyarrow")
+    out = normalize_urls(messy, url_col="messy", out_col="url_norm")
+    return out.map_batches(
+        lambda t: t.select(["url", "url_norm"]), batch_format="pyarrow"
+    )
+
+
 def q_ann_topk_ivf(sf_dir):
     import ray.data
 
@@ -816,6 +850,7 @@ QUERIES = {
     "pack_shards": q_pack_shards,
     "truncate_tokens": q_truncate_tokens,
     "host_stats": q_host_stats,
+    "url_normalize": q_url_normalize,
     "edges": q_edges,
     "out_degree": q_out_degree,
     "in_degree": q_in_degree,
@@ -1421,6 +1456,17 @@ SELECT v, MIN(lab)::BIGINT AS component FROM walk GROUP BY v ORDER BY v"""
 ORACLE_SQL["host_stats"] = f"""SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
   COUNT(*)::BIGINT AS n_docs, SUM(length(text))::BIGINT AS n_chars
 FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet') GROUP BY 1 ORDER BY 1"""
+ORACLE_SQL["url_normalize"] = rf"""WITH base AS (
+  SELECT url, length(url) AS L FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet')),
+m1 AS (SELECT url, CASE WHEN L % 3 = 0 THEN url || '#ref' ELSE url END AS u, L FROM base),
+m2 AS (SELECT url, CASE WHEN L % 2 = 1 THEN upper(u) ELSE u END AS u, L FROM m1),
+m3 AS (SELECT url, CASE WHEN L % 5 = 0 THEN u || '/' ELSE u END AS u FROM m2),
+s1 AS (SELECT url, regexp_replace(u, '#.*$', '') AS u FROM m3),
+s2 AS (SELECT url, CASE WHEN regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*')
+  THEN lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)', 1))
+       || regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*', '')
+  ELSE u END AS u FROM s1)
+SELECT url, regexp_replace(u, '/$', '') AS url_norm FROM s2 ORDER BY url"""
 ORACLE_SQL["corpus_extract_text"] = (
     f"SELECT url, text FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet') ORDER BY url"
 )

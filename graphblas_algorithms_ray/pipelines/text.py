@@ -1066,6 +1066,37 @@ def pack_shards(
     )
 
 
+def normalize_urls(
+    pages: ray.data.Dataset, url_col: str = "url", out_col: str = "url_norm"
+) -> ray.data.Dataset:
+    """Append a canonical form of the url column — the link-graph hygiene
+    step before url-keyed dedup or vertex-dictionary build. Rules (kept
+    deliberately SQL-expressible so the oracle replicates them exactly):
+    drop the #fragment, lowercase the scheme://authority prefix (path and
+    query keep their case — they are case-sensitive), strip one trailing
+    '/'. Stateless Arrow regex kernels per batch (RE2, shared with
+    DuckDB), no shuffle."""
+    import pyarrow.compute as pc
+
+    _AUTH = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*"
+
+    def _norm(t: pa.Table) -> pa.Table:
+        u = pc.replace_substring_regex(t[url_col], r"#.*$", "")
+        head = pc.struct_field(
+            pc.extract_regex(u, f"(?P<h>{_AUTH})"), "h"
+        )
+        rest = pc.replace_substring_regex(u, _AUTH, "")
+        has = pc.is_valid(head)
+        lowered = pc.binary_join_element_wise(
+            pc.utf8_lower(pc.fill_null(head, "")), rest, ""
+        )
+        n = pc.if_else(has, lowered, u)
+        n = pc.replace_substring_regex(n, r"/$", "")
+        return t.append_column(out_col, n)
+
+    return pages.map_batches(_norm, batch_format="pyarrow")
+
+
 def host_stats(pages: ray.data.Dataset) -> ray.data.Dataset:
     """(host, n_docs, n_chars): per-domain aggregates over a web corpus —
     the signal behind C4/RefinedWeb-style domain filtering and mixing.

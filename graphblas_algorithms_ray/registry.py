@@ -291,4 +291,5 @@ ALGORITHMS = {
     "pack_shards": _late("pipelines.text", "pack_shards"),
     "mix_sample": _late("pipelines.text", "mix_sample"),
     "truncate_tokens": _late("pipelines.text", "truncate_tokens"),
+    "normalize_urls": _late("pipelines.text", "normalize_urls"),
 }

@@ -120,8 +120,8 @@ def test_queries_order_never_driver_verified_first():
     # future reordering doesn't silently undo the rotation.
     from graphblas_algorithms_ray.api import QUERIES
 
-    first20 = list(QUERIES)[:20]
-    assert first20 == [
+    first21 = list(QUERIES)[:21]
+    assert first21 == [
         "language_id",
         "laplacian",
         "bethe_hessian",
@@ -143,7 +143,8 @@ def test_queries_order_never_driver_verified_first():
         "pack_shards",
         "truncate_tokens",
         "host_stats",
+        "url_normalize",
     ]
     # and the long-recorded core suite still follows inside the window
-    assert list(QUERIES)[20:24] == ["edges", "out_degree", "in_degree",
+    assert list(QUERIES)[21:25] == ["edges", "out_degree", "in_degree",
                                     "degree_centrality"]

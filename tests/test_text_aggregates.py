@@ -507,3 +507,26 @@ def test_truncate_tokens_nonascii_whitespace_kept():
         1: (" ", 1),
         2: ("a b c", 2),
     }
+
+
+def test_normalize_urls_rules():
+    from graphblas_algorithms_ray.pipelines.text import normalize_urls
+
+    rows = [
+        {"url": "HTTPS://Host.Example/Path/To#frag"},   # case + fragment
+        {"url": "https://h.example/a/"},                # trailing slash
+        {"url": "https://H.example"},                   # authority only
+        {"url": "no-scheme/path/"},                     # no authority
+        {"url": "http://h.example/CaseKept?Q=Up#x"},    # path case preserved
+    ]
+    out = {
+        r["url"]: r["url_norm"]
+        for r in normalize_urls(ray.data.from_items(rows)).take_all()
+    }
+    assert out == {
+        "HTTPS://Host.Example/Path/To#frag": "https://host.example/Path/To",
+        "https://h.example/a/": "https://h.example/a",
+        "https://H.example": "https://h.example",
+        "no-scheme/path/": "no-scheme/path",
+        "http://h.example/CaseKept?Q=Up#x": "http://h.example/CaseKept?Q=Up",
+    }
