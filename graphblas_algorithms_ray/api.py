@@ -582,9 +582,12 @@ def q_pack_shards(sf_dir):
 
 def q_url_normalize(sf_dir):
     """URL canonicalization over the corpus urls, made non-degenerate by a
-    deterministic 'mess' pass (fragment / case / trailing-slash variants
-    keyed on length(url)) that the SQL oracle replicates before both sides
-    normalize."""
+    deterministic 'mess' pass that the SQL oracle replicates before both
+    sides normalize. The variants key on the ascii code of the url's LAST
+    character (the urls end in a per-row serial digit — length would be
+    constant across the generated corpus and exercise only one branch,
+    review r5): c%3==0 appends '#ref', c%2==1 uppercases the whole url,
+    c%5==0 appends a trailing '/'."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -597,21 +600,21 @@ def q_url_normalize(sf_dir):
 
     def _mess(t: pa.Table) -> pa.Table:
         u = t["url"]
-        L = pc.utf8_length(u).to_numpy(zero_copy_only=False).astype(np.int64)
-        m1 = pc.binary_join_element_wise(
-            u, pa.array(np.where(L % 3 == 0, "#ref", "").tolist()), ""
+        c = np.array(
+            [ord(s[-1]) if s else 0 for s in u.to_pylist()], dtype=np.int64
         )
-        m2 = pc.if_else(pa.array(L % 2 == 1), pc.utf8_upper(m1), m1)
+        m1 = pc.binary_join_element_wise(
+            u, pa.array(np.where(c % 3 == 0, "#ref", "").tolist()), ""
+        )
+        m2 = pc.if_else(pa.array(c % 2 == 1), pc.utf8_upper(m1), m1)
         m3 = pc.binary_join_element_wise(
-            m2, pa.array(np.where(L % 5 == 0, "/", "").tolist()), ""
+            m2, pa.array(np.where(c % 5 == 0, "/", "").tolist()), ""
         )
         return pa.table({"url": u, "messy": m3})
 
     messy = pages.map_batches(_mess, batch_format="pyarrow")
     out = normalize_urls(messy, url_col="messy", out_col="url_norm")
-    return out.map_batches(
-        lambda t: t.select(["url", "url_norm"]), batch_format="pyarrow"
-    )
+    return out.select_columns(["url", "url_norm"])
 
 
 def q_ann_topk_ivf(sf_dir):
@@ -1457,16 +1460,18 @@ ORACLE_SQL["host_stats"] = f"""SELECT regexp_extract(url, '^https?://([^/]+)', 1
   COUNT(*)::BIGINT AS n_docs, SUM(length(text))::BIGINT AS n_chars
 FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet') GROUP BY 1 ORDER BY 1"""
 ORACLE_SQL["url_normalize"] = rf"""WITH base AS (
-  SELECT url, length(url) AS L FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet')),
-m1 AS (SELECT url, CASE WHEN L % 3 = 0 THEN url || '#ref' ELSE url END AS u, L FROM base),
-m2 AS (SELECT url, CASE WHEN L % 2 = 1 THEN upper(u) ELSE u END AS u, L FROM m1),
-m3 AS (SELECT url, CASE WHEN L % 5 = 0 THEN u || '/' ELSE u END AS u FROM m2),
+  SELECT url, ascii(right(url, 1)) AS c FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet')),
+m1 AS (SELECT url, CASE WHEN c % 3 = 0 THEN url || '#ref' ELSE url END AS u, c FROM base),
+m2 AS (SELECT url, CASE WHEN c % 2 = 1 THEN upper(u) ELSE u END AS u, c FROM m1),
+m3 AS (SELECT url, CASE WHEN c % 5 = 0 THEN u || '/' ELSE u END AS u FROM m2),
 s1 AS (SELECT url, regexp_replace(u, '#.*$', '') AS u FROM m3),
 s2 AS (SELECT url, CASE WHEN regexp_matches(u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*')
   THEN lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*)', 1))
        || regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*', '')
   ELSE u END AS u FROM s1)
-SELECT url, regexp_replace(u, '/$', '') AS url_norm FROM s2 ORDER BY url"""
+SELECT url, CASE WHEN strpos(u, '?') > 0 THEN u
+  ELSE regexp_replace(u, '/$', '') END AS url_norm
+FROM s2 ORDER BY url"""
 ORACLE_SQL["corpus_extract_text"] = (
     f"SELECT url, text FROM read_parquet('{_CORPUS_TRUTH}/docs.parquet') ORDER BY url"
 )

@@ -1074,8 +1074,9 @@ def normalize_urls(
     deliberately SQL-expressible so the oracle replicates them exactly):
     drop the #fragment, lowercase the scheme://authority prefix (path and
     query keep their case — they are case-sensitive), strip one trailing
-    '/'. Stateless Arrow regex kernels per batch (RE2, shared with
-    DuckDB), no shuffle."""
+    '/' — but NOT when the url has a query string (a slash ending '?p=/'
+    is query content, not path decoration; review r5). Stateless Arrow
+    regex kernels per batch (RE2, shared with DuckDB), no shuffle."""
     import pyarrow.compute as pc
 
     _AUTH = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*"
@@ -1091,7 +1092,11 @@ def normalize_urls(
             pc.utf8_lower(pc.fill_null(head, "")), rest, ""
         )
         n = pc.if_else(has, lowered, u)
-        n = pc.replace_substring_regex(n, r"/$", "")
+        n = pc.if_else(
+            pc.match_substring(n, "?"),
+            n,
+            pc.replace_substring_regex(n, r"/$", ""),
+        )
         return t.append_column(out_col, n)
 
     return pages.map_batches(_norm, batch_format="pyarrow")

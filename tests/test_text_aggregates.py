@@ -530,3 +530,23 @@ def test_normalize_urls_rules():
         "no-scheme/path/": "no-scheme/path",
         "http://h.example/CaseKept?Q=Up#x": "http://h.example/CaseKept?Q=Up",
     }
+
+
+def test_normalize_urls_query_string_slash_kept():
+    # review r5: a trailing slash inside/after a query string is content
+    from graphblas_algorithms_ray.pipelines.text import normalize_urls
+
+    rows = [
+        {"url": "https://h.example/search?path=/"},
+        {"url": "https://h.example/a/?x=1"},
+        {"url": "https://h.example/a/"},
+    ]
+    out = {
+        r["url"]: r["url_norm"]
+        for r in normalize_urls(ray.data.from_items(rows)).take_all()
+    }
+    assert out == {
+        "https://h.example/search?path=/": "https://h.example/search?path=/",
+        "https://h.example/a/?x=1": "https://h.example/a/?x=1",
+        "https://h.example/a/": "https://h.example/a",
+    }
